@@ -1,0 +1,9 @@
+from ragraph_tpu.nn.layers import (  # noqa: F401
+    DenseGCN, DenseGAT, PReLU, BilinearDiscriminator, avg_readout,
+)
+from ragraph_tpu.nn.stack import GCNStack, MaskedBatchNorm  # noqa: F401
+from ragraph_tpu.nn.heads import (  # noqa: F401
+    TaskDecoder, LogReg, LpHead, DGIHead, GraphCLHead, compare_loss,
+)
+from ragraph_tpu.nn.lora import LoRAFactors, svd_init, apply_lora  # noqa: F401
+from ragraph_tpu.nn.gating import learned_gate, random_gate  # noqa: F401

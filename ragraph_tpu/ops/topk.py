@@ -1,0 +1,55 @@
+"""Cosine-scored top-k retrieval (XLA path).
+
+Reference query phase: dense cosine similarity ``(Q, R)`` + ``torch.topk``
+(``RAGraph_node/ragraph_utils/ToyGraphBase.py:47-71``;
+``RAGraph_edge/modules/RAGraph.py:298-324`` chunks over Q on GPU).
+
+TPU-native formulation: the score matrix is one MXU matmul; ``lax.top_k``
+runs on-device. For libraries that fit HBM comfortably this XLA version is
+already near speed-of-light (the matmul dominates); the Pallas blocked
+variant that never materializes ``(Q, R)`` lives in
+``ragraph_tpu.ops.pallas_retrieval``, and the ICI-sharded index in
+``ragraph_tpu.parallel.sharded_index``.
+
+Masking: library slots beyond the fill count get score ``-inf`` so a
+preallocated, partially-filled library behaves exactly like the reference's
+grow-by-cat tensors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ragraph_tpu.ops.similarity import l2_normalize
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
+                valid_mask: jax.Array | None = None,
+                queries_normalized: bool = False,
+                keys_normalized: bool = False):
+    """Top-k cosine scores and indices of ``queries`` against ``keys``.
+
+    Args:
+      queries: ``(Q, E)``.
+      keys: ``(R, E)`` library keys (rows beyond the fill count arbitrary).
+      k: static number of neighbors.
+      valid_mask: ``(R,)`` bool — which library rows are live.
+
+    Returns:
+      ``(scores, indices)`` of shape ``(Q, k)``.
+    """
+    q = queries if queries_normalized else l2_normalize(queries)
+    kk = keys if keys_normalized else l2_normalize(keys)
+    scores = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+def topk_gather(values: jax.Array, indices: jax.Array) -> jax.Array:
+    """Gather library rows for each query: ``(R, E)[(Q, k)] -> (Q, k, E)``."""
+    return jnp.take(values, indices, axis=0)
