@@ -42,6 +42,8 @@ def planted_partition_graph(rng: np.random.Generator, n: int,
 def synthetic_tu_dataset(seed: int = 0, num_graphs: int = 60,
                          min_nodes: int = 8, max_nodes: int = 24,
                          num_classes: int = 3, feat_dim: int = 16,
+                         p_in: float = 0.5, p_out: float = 0.05,
+                         signal: float = 1.5,
                          name: str = "SYNTH") -> TUDataset:
     """A TU-shaped dataset of planted-partition graphs.
 
@@ -54,7 +56,8 @@ def synthetic_tu_dataset(seed: int = 0, num_graphs: int = 60,
     for _ in range(num_graphs):
         n = int(rng.integers(min_nodes, max_nodes + 1))
         feats, adj, onehot, labels = planted_partition_graph(
-            rng, n, num_classes, feat_dim, centroids=centroids)
+            rng, n, num_classes, feat_dim, p_in=p_in, p_out=p_out,
+            signal=signal, centroids=centroids)
         graph_label = int(np.bincount(labels, minlength=num_classes).argmax())
         graphs.append(TUGraph(features=feats, adj=adj, node_labels=onehot,
                               graph_label=graph_label))
