@@ -1,0 +1,131 @@
+"""Headline benchmark: batched cosine top-k retrieval throughput on TPU
+vs the reference's brute-force PyTorch-CPU retrieval.
+
+Workload (mirrors ``ToyGraphBase.retrieve`` /
+``RAGraph_edge/modules/RAGraph.py:298-324`` at production scale): Q queries
+against an R-row key library, E-dim, top-k — normalize, (Q,E)x(E,R) score
+matmul, top-k, value gather.
+
+Methodology notes for the tunneled single-chip setup: device→host
+transfers through the tunnel are extremely slow, so (a) the bf16-vs-f32
+recall check runs entirely on device (one scalar comes back), and (b)
+timing chains ITERS executions with one final scalar sync and subtracts
+the measured tunnel roundtrip.
+
+Prints ONE JSON line:
+  {"metric": "retrieval_qps", "value": <TPU queries/s>,
+   "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+R, E, Q, K = 262_144, 128, 2048, 10
+WARMUP, ITERS = 3, 50
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from ragraph_tpu.ops.similarity import l2_normalize
+    from ragraph_tpu.ops.topk import topk_gather
+
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.normal(size=(R, E)).astype(np.float32))
+    values = jnp.asarray(rng.normal(size=(R, E)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(Q, E)).astype(np.float32))
+
+    # TPU-native path: keys normalized once at build time (the library
+    # stores normalized keys), bf16 on the MXU with f32 accumulation.
+    keys_n = l2_normalize(keys).astype(jnp.bfloat16)
+
+    @jax.jit
+    def retrieve(q, kn, vals):
+        qn = l2_normalize(q).astype(jnp.bfloat16)
+        scores = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32)
+        s, idx = jax.lax.top_k(scores, K)
+        return s, idx, topk_gather(vals, idx)
+
+    @jax.jit
+    def recall_vs_exact(q, kn, k_f32):
+        _, idx_bf, _ = retrieve(q, kn, values)
+        scores = jnp.dot(l2_normalize(q), l2_normalize(k_f32).T,
+                         preferred_element_type=jnp.float32)
+        _, idx_f32 = jax.lax.top_k(scores, K)
+        hit = (idx_bf[:, :, None] == idx_f32[:, None, :]).any(-1)
+        return hit.mean()
+
+    recall = float(recall_vs_exact(queries, keys_n, keys))
+
+    # pure-device timing: ITERS retrievals chained inside one jit (each
+    # iteration's query depends on the previous result, so nothing is
+    # dead-code-eliminated); one scalar returns to host.
+    @jax.jit
+    def retrieve_chain(q, kn, vals):
+        def body(_, carry):
+            qq, acc = carry
+            s, _, v = retrieve(qq, kn, vals)
+            # cheap data dependency: shift queries by a value-derived eps
+            return qq + 1e-6 * v[:, 0, :], acc + s[0, 0]
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
+        return acc
+
+    # measure tunnel roundtrip (scalar materialization latency)
+    for _ in range(WARMUP):
+        float(retrieve(queries, keys_n, values)[0][0, 0])
+    t0 = time.perf_counter()
+    float(retrieve(queries, keys_n, values)[0][0, 0])
+    roundtrip = time.perf_counter() - t0
+
+    float(retrieve_chain(queries, keys_n, values))  # compile
+    t0 = time.perf_counter()
+    float(retrieve_chain(queries, keys_n, values))
+    total = time.perf_counter() - t0
+    dt = max((total - roundtrip) / ITERS, 1e-9)
+    return Q / dt, recall, dt
+
+
+def bench_torch_cpu():
+    import torch
+    torch.manual_seed(0)
+    q_small = 256  # subsample; report throughput (queries/s)
+    keys = torch.randn(R, E)
+    values = torch.randn(R, E)
+    queries = torch.randn(q_small, E)
+    keys_n = torch.nn.functional.normalize(keys, dim=-1)
+
+    def retrieve(q):
+        qn = torch.nn.functional.normalize(q, dim=-1)
+        scores = qn @ keys_n.T
+        s, idx = torch.topk(scores, K)
+        return values[idx]
+
+    retrieve(queries)  # warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        retrieve(queries)
+    dt = (time.perf_counter() - t0) / iters
+    return q_small / dt
+
+
+def main():
+    tpu_qps, recall, dt = bench_tpu()
+    cpu_qps = bench_torch_cpu()
+    speedup = tpu_qps / cpu_qps
+    print(f"# R={R} E={E} Q={Q} k={K}: TPU {tpu_qps:,.0f} q/s "
+          f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}); "
+          f"torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "retrieval_qps",
+        "value": round(tpu_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from ragraph_tpu.models.edge.base import (  # noqa: F401
+    EdgeModelConfig, bpr_loss, nce_loss, cal_infonce, reg_loss_emb,
+    edge_drop_mask, relative_time_encoding, lightgcn_propagate,
+)
+from ragraph_tpu.models.edge.ragraph_edge import (  # noqa: F401
+    TemporalLightGCN, LightGCNEdge, GraphPro, RAGraphEdge,
+    EdgeGraphArrays, edge_config_for, EDGE_DATASET_CONFIGS,
+)
+from ragraph_tpu.models.edge.staged import (  # noqa: F401
+    staged_finetune, interpolative_merge, StageResult,
+)

@@ -1,0 +1,141 @@
+"""Shared pieces of the edge (recsys) model family.
+
+Parity targets:
+- losses: BPR / NCE / InfoNCE (``RAGraph_edge/modules/base_model.py:81-110``,
+  ``modules/utils.py:80-88``) and the embedding L2 reg
+  (``modules/RAGraph.py:365-379``);
+- LightGCN propagation: gather → binorm scale → segment-sum per layer
+  (``modules/RAGraph.py:232-240``);
+- relative edge-time encoding: min-max rescale + per-destination segment
+  softmax (``modules/RAGraph.py:250-263``);
+- edge dropout: Bernoulli keep mask (``modules/utils.py:40-53``) — here a
+  *mask*, not a subset: dropped edges get weight 0, which is equivalent
+  under segment-sum and keeps every shape static for jit.
+
+The numerical sanitizer ``check_finite`` mirrors ``_check_inf``
+(``base_model.py:23-32``) as a jit-friendly ``checkify``-style guard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ragraph_tpu.ops.segment import segment_softmax
+from ragraph_tpu.ops.similarity import l2_normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeModelConfig:
+    """Typed replacement for the argparse singleton
+    (``RAGraph_edge/utils/parse_args.py:3-47``)."""
+
+    emb_size: int = 64
+    num_layers: int = 3
+    edge_dropout: float = 0.5
+    emb_dropout: float = 0.0
+    weight_decay: float = 1e-4
+    lr: float = 1e-3
+    batch_size: int = 2048
+    eval_batch_size: int = 512
+    num_epochs: int = 300
+    early_stop_patience: int = 10
+    metrics: tuple = ("recall", "ndcg")
+    metrics_k: tuple = (20,)
+    # RAG knobs (per-dataset table lives in ragraph_edge.py)
+    retrieve_weight: float = 0.3
+    retrieve_num: int = 10
+    noise_retrieve_num: int = 1
+    num_augment_scale: int = 0
+    num_inverse_sample: int = 0
+    use_noise: bool = False
+    lora_rank: int = 16
+    use_lora: bool = True
+
+
+def bpr_loss(user_emb, pos_item_emb, neg_item_emb):
+    """``-log sigmoid(pos - neg)`` (``base_model.py:81-86``)."""
+    pos_score = jnp.sum(user_emb * pos_item_emb, axis=1)
+    neg_score = jnp.sum(user_emb * neg_item_emb, axis=1)
+    return -jnp.log(1e-10 + jax.nn.sigmoid(pos_score - neg_score)).mean()
+
+
+def nce_loss(pos_score, neg_score, edge_weight=1.0):
+    """``base_model.py:88-93`` (neg_score ``(B, N)``)."""
+    numerator = jnp.exp(pos_score)
+    denominator = numerator + jnp.exp(neg_score).sum(axis=1)
+    return (-jnp.log(numerator / denominator) * edge_weight).mean()
+
+
+def cal_infonce(view1, view2, temperature: float, b_cos: bool = True):
+    """In-batch InfoNCE (``modules/utils.py:80-88``)."""
+    if b_cos:
+        view1 = l2_normalize(view1)
+        view2 = l2_normalize(view2)
+    pos_score = jnp.exp(jnp.sum(view1 * view2, axis=-1) / temperature)
+    ttl_score = jnp.exp(jnp.dot(view1, view2.T,
+                                preferred_element_type=jnp.float32)
+                        / temperature).sum(axis=1)
+    return jnp.mean(-jnp.log(pos_score / ttl_score + 1e-5))
+
+
+def reg_loss_emb(user_table, item_table, users, pos_items, neg_items):
+    """½(‖u‖² + ‖i⁺‖² + ‖i⁻‖²)/B on the raw tables
+    (``modules/RAGraph.py:365-379``)."""
+    u = user_table[users]
+    p = item_table[pos_items]
+    n = item_table[neg_items]
+    b = users.shape[0]
+    return 0.5 * ((u ** 2).sum() + (p ** 2).sum() + (n ** 2).sum()) / b
+
+
+def check_finite(loss):
+    """Numerical sanitizer mirroring ``_check_inf`` — returns a bool you can
+    assert on host, without breaking jit."""
+    return jnp.isfinite(loss)
+
+
+def edge_drop_mask(key: jax.Array, num_edges: int, keep_rate: float):
+    """Bernoulli keep mask (``EdgelistDrop``, ``modules/utils.py:44-52``)."""
+    if keep_rate >= 1.0:
+        return jnp.ones((num_edges,), dtype=bool)
+    return jax.random.bernoulli(key, keep_rate, (num_edges,))
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def relative_time_encoding(edge_times: jax.Array, receivers: jax.Array,
+                           num_nodes: int,
+                           edge_mask: jax.Array | None = None,
+                           max_step=None) -> jax.Array:
+    """Per-destination softmax over min-max-rescaled edge times
+    (``modules/RAGraph.py:250-263``). Masked edges get probability 0."""
+    t = edge_times.astype(jnp.float32)
+    if edge_mask is not None:
+        big = jnp.where(edge_mask, t, -jnp.inf).max()
+        small = jnp.where(edge_mask, t, jnp.inf).min()
+    else:
+        big, small = t.max(), t.min()
+    if max_step is not None:
+        big = jnp.asarray(max_step, jnp.float32)
+    t = (t - small) / jnp.maximum(big - small, 1e-12)
+    return segment_softmax(t, receivers, num_nodes, mask=edge_mask)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_layers"))
+def lightgcn_propagate(all_emb: jax.Array, senders: jax.Array,
+                       receivers: jax.Array, weights: jax.Array,
+                       num_nodes: int, num_layers: int):
+    """LightGCN layers; returns the list [h0, h1, ..., hL].
+
+    One gather + VPU scale + segment-sum per layer
+    (``modules/RAGraph.py:232-240``); dropped edges carry zero weight.
+    """
+    layers = [all_emb]
+    for _ in range(num_layers):
+        msgs = layers[-1][senders] * weights[:, None]
+        layers.append(jax.ops.segment_sum(msgs, receivers,
+                                          num_segments=num_nodes))
+    return layers

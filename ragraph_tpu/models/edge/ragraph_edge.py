@@ -1,0 +1,330 @@
+"""The edge (dynamic link-prediction / recommendation) model family.
+
+Parity targets:
+- ``RAGraph`` recommender (``RAGraph_edge/modules/RAGraph.py``): temporal
+  LightGCN with phases pretrain / for_tune / vanilla / finetune, resource
+  graph build (``:185-230``), batched cosine top-k retrieval + fusion
+  (``:286-328``), SVD-initialized LoRA (``:122-160``), learned/random
+  gating (``:166-183``), BPR + L2 loss (``:335-355``);
+- ``GraphPro`` backbone (``modules/GraphPro.py``) = same temporal LightGCN
+  without RAG/LoRA;
+- ``LightGCN`` baseline (``modules/LightGCN.py``) = no time encoding, no
+  gating.
+
+TPU-native notes: edge dropout is a weight mask (static shapes); the
+retrieval scores are one ``(N, R)`` MXU matmul + ``lax.top_k`` instead of
+the reference's Python chunk loop (``:298-324``) — XLA tiles it; for very
+large libraries the Pallas blocked kernel / sharded index take over
+(``ragraph_tpu.ops.pallas_retrieval``, ``ragraph_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragraph_tpu.data.edgelist import EdgeDataset
+from ragraph_tpu.models.edge.base import (EdgeModelConfig, bpr_loss,
+                                          edge_drop_mask,
+                                          lightgcn_propagate,
+                                          reg_loss_emb,
+                                          relative_time_encoding)
+from ragraph_tpu.nn.gating import learned_gate, random_gate
+from ragraph_tpu.nn.lora import LoRAFactors, apply_lora, svd_init
+from ragraph_tpu.ops.pagerank import inverse_sample_prob_edges
+from ragraph_tpu.ops.topk import cosine_topk, topk_gather
+from ragraph_tpu.rag.augmentation import augment_features
+
+xavier = jax.nn.initializers.glorot_uniform()
+
+# Per-dataset RAG knobs (modules/RAGraph.py:33-85). "default" covers
+# synthetic/test datasets.
+EDGE_DATASET_CONFIGS = {
+    "amazon": dict(retrieve_weight=0.3,
+                   vanilla=dict(batch_size=32768, retrieve_num=50,
+                                num_augment_scale=0, inverse_frac=0.01),
+                   finetune=dict(batch_size=4096, retrieve_num=10,
+                                 noise_retrieve_num=1, num_augment_scale=0,
+                                 num_inverse_sample=0)),
+    "koubei": dict(retrieve_weight=0.3,
+                   vanilla=dict(batch_size=512, retrieve_num=100000,
+                                num_augment_scale=1, inverse_frac=0.01),
+                   finetune=dict(batch_size=4096, retrieve_num=20,
+                                 noise_retrieve_num=1, num_augment_scale=0,
+                                 num_inverse_sample=0)),
+    "taobao": dict(retrieve_weight=0.3,
+                   vanilla=dict(batch_size=512, retrieve_num=100000,
+                                num_augment_scale=1, inverse_frac=0.01),
+                   finetune=dict(batch_size=4096, retrieve_num=20,
+                                 noise_retrieve_num=1, num_augment_scale=0,
+                                 num_inverse_sample=0)),
+}
+
+
+@dataclasses.dataclass
+class EdgeGraphArrays:
+    """Device copies of the bidirectional interaction graph."""
+
+    senders: jax.Array
+    receivers: jax.Array
+    edge_norm: jax.Array
+    edge_times: jax.Array
+    num_users: int
+    num_items: int
+
+    @classmethod
+    def from_dataset(cls, ds: EdgeDataset) -> "EdgeGraphArrays":
+        return cls(senders=jnp.asarray(ds.senders),
+                   receivers=jnp.asarray(ds.receivers),
+                   edge_norm=jnp.asarray(ds.edge_norm),
+                   edge_times=jnp.asarray(ds.edge_times_bi),
+                   num_users=ds.num_users, num_items=ds.num_items)
+
+    @property
+    def num_nodes(self):
+        return self.num_users + self.num_items
+
+    @property
+    def num_edges(self):
+        return int(self.senders.shape[0])
+
+
+class TemporalLightGCN:
+    """Shared engine for LightGCN / GraphPro / RAGraph-edge.
+
+    Flags: ``use_time`` (GraphPro/RAGraph), ``use_rag`` + ``use_lora``
+    (RAGraph only). ``phase`` follows the reference lifecycle.
+    """
+
+    use_time: bool = True
+    use_rag: bool = False
+
+    def __init__(self, cfg: EdgeModelConfig, graph: EdgeGraphArrays,
+                 phase: str = "pretrain"):
+        self.cfg = cfg
+        self.graph = graph
+        self.phase = phase
+        self.resource_keys = None   # (R, E) buffers, not parameters
+        self.resource_values = None
+
+    # -- params ------------------------------------------------------------
+
+    def init_params(self, key: jax.Array,
+                    pretrained_tables: tuple | None = None) -> dict:
+        g, cfg = self.graph, self.cfg
+        k_u, k_i, k_gw, k_gb = jax.random.split(key, 4)
+        params: dict[str, Any] = {}
+        if self.phase in ("pretrain", "for_tune") or pretrained_tables is None:
+            params["user_embedding"] = xavier(k_u, (g.num_users, cfg.emb_size))
+            params["item_embedding"] = xavier(k_i, (g.num_items, cfg.emb_size))
+        else:
+            u, it = pretrained_tables
+            params["user_embedding"] = u
+            params["item_embedding"] = it
+        if self.phase == "finetune":
+            params["gating_weight"] = xavier(k_gw, (cfg.emb_size, cfg.emb_size))
+            params["gating_bias"] = xavier(k_gb, (1, cfg.emb_size))
+            if self.use_rag and cfg.use_lora:
+                params["user_lora"] = svd_init(params["user_embedding"],
+                                               cfg.lora_rank)
+                params["item_lora"] = svd_init(params["item_embedding"],
+                                               cfg.lora_rank)
+        return params
+
+    # -- forward -----------------------------------------------------------
+
+    def _effective_tables(self, params, key, training: bool):
+        """Base tables + LoRA delta (``modules/RAGraph.py:269-274``)."""
+        u, it = params["user_embedding"], params["item_embedding"]
+        if self.phase == "finetune" and self.use_rag and self.cfg.use_lora:
+            ku = ki = None
+            if training and key is not None and self.cfg.emb_dropout > 0:
+                ku, ki = jax.random.split(jax.random.fold_in(key, 1))
+            u = apply_lora(u, LoRAFactors(*params["user_lora"]),
+                           self.cfg.emb_dropout, ku)
+            it = apply_lora(it, LoRAFactors(*params["item_lora"]),
+                            self.cfg.emb_dropout, ki)
+        return u, it
+
+    def _gate(self, params, all_emb, key, training: bool):
+        if self.phase == "finetune":
+            gk = None
+            if training and key is not None and self.cfg.emb_dropout > 0:
+                gk = jax.random.fold_in(key, 2)
+            return learned_gate(all_emb, params["gating_weight"],
+                                params["gating_bias"],
+                                self.cfg.emb_dropout, gk)
+        if self.phase == "for_tune":
+            gk = (jax.random.fold_in(key, 3) if key is not None
+                  else jax.random.key(0))
+            return random_gate(all_emb, gk)
+        return all_emb
+
+    def forward(self, params, *, key=None, training: bool = False,
+                edge_mask=None, max_time_step=None):
+        """Returns ``(user_emb, item_emb)``."""
+        g, cfg = self.graph, self.cfg
+        weights = g.edge_norm
+        if edge_mask is not None:
+            weights = jnp.where(edge_mask, weights, 0.0)
+        if self.use_time:
+            time_norm = relative_time_encoding(
+                g.edge_times, g.receivers, g.num_nodes,
+                edge_mask=edge_mask, max_step=max_time_step)
+            weights = weights * 0.5 + time_norm * 0.5
+
+        u, it = self._effective_tables(params, key, training)
+        all_emb = jnp.concatenate([u, it], axis=0)
+        all_emb = self._gate(params, all_emb, key, training)
+
+        layers = lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
+                                    g.num_nodes, cfg.num_layers)
+        res_emb = sum(layers)
+
+        if self.use_rag and self.phase in ("vanilla", "finetune") \
+                and self.resource_keys is not None:
+            res_emb = self._fuse_rag(layers[0], res_emb, key, training)
+
+        return res_emb[: g.num_users], res_emb[g.num_users:]
+
+    def _fuse_rag(self, query_emb, res_emb, key, training: bool):
+        """Cosine top-k over the resource library + 50/50-style fusion
+        (``modules/RAGraph.py:286-328``)."""
+        cfg = self.cfg
+        add_noise = cfg.use_noise and training and self.phase == "finetune"
+        k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
+        k = min(k, self.resource_keys.shape[0])
+        _, idx = cosine_topk(query_emb, self.resource_keys, k)
+        rag = topk_gather(self.resource_values, idx)         # (N, k, E)
+        if add_noise:
+            nk = jax.random.fold_in(key, 7)
+            noise_idx = jax.random.randint(
+                nk, (query_emb.shape[0], cfg.noise_retrieve_num),
+                0, self.resource_values.shape[0])
+            rag = jnp.concatenate(
+                [rag, topk_gather(self.resource_values, noise_idx)], axis=1)
+        rag_emb = rag.mean(axis=1)
+        return (1.0 - cfg.retrieve_weight) * res_emb \
+            + cfg.retrieve_weight * rag_emb
+
+    # -- resource graph (library) ------------------------------------------
+
+    def make_resource_graph(self, pretrained_user_emb, pretrained_item_emb,
+                            key: jax.Array):
+        """Build the retrieval library from pretrained embeddings
+        (``modules/RAGraph.py:185-230``): keys = last propagation layer,
+        values = sum of even ('dual-hop') layers; optional inverse sampling
+        + feature-space augmentation."""
+        g, cfg = self.graph, self.cfg
+        all_emb = jnp.concatenate([pretrained_user_emb, pretrained_item_emb],
+                                  axis=0)
+        layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
+                                    g.edge_norm, g.num_nodes, cfg.num_layers)
+        keys_base = layers[-1]
+        values_base = sum(layers[0::2])
+
+        sample_prob = inverse_sample_prob_edges(
+            g.senders, g.receivers, g.edge_norm, g.num_nodes)
+
+        all_keys, all_values = [], []
+        for i in range(1 + cfg.num_augment_scale):
+            k_i = jax.random.fold_in(key, i)
+            if i > 0:
+                kf, kv = jax.random.split(k_i)
+                aug_keys = augment_features(kf, keys_base, sample_prob)
+                aug_values = augment_features(kv, values_base, sample_prob)
+            else:
+                aug_keys, aug_values = keys_base, values_base
+            if cfg.num_inverse_sample > 0:
+                idx = jax.random.choice(jax.random.fold_in(k_i, 99),
+                                        g.num_nodes,
+                                        shape=(cfg.num_inverse_sample,),
+                                        replace=True, p=sample_prob)
+                aug_keys = aug_keys[idx]
+                aug_values = aug_values[idx]
+            all_keys.append(aug_keys)
+            all_values.append(aug_values)
+
+        self.resource_keys = jnp.concatenate(all_keys, axis=0)
+        self.resource_values = jnp.concatenate(all_values, axis=0)
+
+    # -- loss / eval -------------------------------------------------------
+
+    def cal_loss(self, params, batch, key):
+        """BPR + weight-decay L2 (``modules/RAGraph.py:335-355``)."""
+        users, pos_items, neg_items = batch
+        k_drop, k_fwd = jax.random.split(key)
+        mask = edge_drop_mask(k_drop, self.graph.num_edges,
+                              1.0 - self.cfg.edge_dropout)
+        user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
+                                          edge_mask=mask)
+        rec = bpr_loss(user_emb[users], item_emb[pos_items],
+                       item_emb[neg_items])
+        u_t, i_t = self._effective_tables(params, None, False)
+        reg = self.cfg.weight_decay * reg_loss_emb(u_t, i_t, users,
+                                                   pos_items, neg_items)
+        return rec + reg, {"rec_loss": rec, "reg_loss": reg}
+
+    def generate(self, params, key=None, max_time_step=None):
+        """Full-graph embeddings, no dropout (``:357-359``)."""
+        return self.forward(params, key=key, training=False,
+                            max_time_step=max_time_step)
+
+    @staticmethod
+    def rating(user_emb, item_emb):
+        return jnp.dot(user_emb, item_emb.T,
+                       preferred_element_type=jnp.float32)
+
+
+class LightGCNEdge(TemporalLightGCN):
+    """Plain LightGCN (no time encoding, no gate, no RAG)."""
+
+    use_time = False
+    use_rag = False
+
+    def _gate(self, params, all_emb, key, training):
+        return all_emb
+
+
+class GraphPro(TemporalLightGCN):
+    """Temporal LightGCN with gating (the pretrain backbone)."""
+
+    use_time = True
+    use_rag = False
+
+    def init_params(self, key, pretrained_tables=None):
+        params = super().init_params(key, pretrained_tables)
+        # GraphPro fine-tune keeps gating but never LoRA
+        params.pop("user_lora", None)
+        params.pop("item_lora", None)
+        return params
+
+
+class RAGraphEdge(TemporalLightGCN):
+    """The RAG recommender."""
+
+    use_time = True
+    use_rag = True
+
+
+def edge_config_for(dataset_name: str, phase: str,
+                    num_nodes: int | None = None,
+                    **overrides) -> EdgeModelConfig:
+    """Materialize the per-dataset knob table into a typed config."""
+    base = EDGE_DATASET_CONFIGS.get(dataset_name)
+    kwargs: dict[str, Any] = {}
+    if base is not None:
+        kwargs["retrieve_weight"] = base["retrieve_weight"]
+        sub = base["vanilla"] if phase == "vanilla" else base["finetune"]
+        for k, v in sub.items():
+            if k == "inverse_frac":
+                if num_nodes is not None:
+                    kwargs["num_inverse_sample"] = round(v * num_nodes)
+            else:
+                kwargs[k] = v
+    kwargs.update(overrides)
+    return EdgeModelConfig(**kwargs)

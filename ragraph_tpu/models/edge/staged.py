@@ -1,0 +1,156 @@
+"""Staged temporal fine-tuning driver.
+
+Parity target: ``RAGraph_edge/finetune_rag.py:54-171`` — for each temporal
+stage ``s`` over ``test_1..test_N``:
+
+1. **interpolative weight update** (``:63-89``): embedding tables =
+   ``0.5 * pretrain + (1-0.5) * L1-normalized-decay-weighted recents``,
+   then row-L2-normalized;
+2. **structural prompt** (``:109-138``): the propagation graph is the union
+   of all data seen so far (pretrain + finetune + test_1..test_{s-1});
+3. a ``for_tune`` model (random gating) generates frozen embeddings;
+4. a ``finetune`` RAGraph (LoRA + learned gating + RAG over a resource
+   graph built from the frozen embeddings on the *stage* graph) trains on
+   the stage's fine-tune split with best-recall early stopping;
+5. stage recall/ndcg are collected and averaged (``:167-171``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragraph_tpu.data.edgelist import load_edge_dataset, merge_rows
+from ragraph_tpu.models.edge.ragraph_edge import (EdgeGraphArrays,
+                                                  RAGraphEdge)
+from ragraph_tpu.ops.similarity import l2_normalize
+from ragraph_tpu.train.trainer import EdgeTrainer
+
+
+def interpolative_merge(pretrain_tables: dict, recent_tables: list,
+                        pretrain_weight: float = 0.5) -> dict:
+    """Merge historical checkpoints (``finetune_rag.py:63-89``).
+
+    ``recent_tables`` is ordered most-recent-first. Weights:
+    ``[w_pre, (1-w_pre)·norm1(arange(1..n)).flip()]`` — i.e. the most
+    recent checkpoint gets the largest share. Rows are L2-normalized after
+    merging.
+    """
+    if not recent_tables:
+        return dict(pretrain_tables)
+    n = len(recent_tables)
+    decay = np.arange(1, n + 1, dtype=np.float32)
+    decay = decay / decay.sum()          # F.normalize(p=1)
+    decay = decay[::-1]                  # .flip: recent (first) gets max
+    out = {}
+    for k in ("user_embedding", "item_embedding"):
+        stacked = [pretrain_tables[k]] + [t[k] for t in recent_tables]
+        weights = np.concatenate([[pretrain_weight],
+                                  (1 - pretrain_weight) * decay])
+        merged = sum(w * t for w, t in zip(weights, stacked))
+        out[k] = l2_normalize(jnp.asarray(merged), axis=1)
+    return out
+
+
+@dataclasses.dataclass
+class StageResult:
+    recalls: list
+    ndcgs: list
+
+    @property
+    def avg_recall(self):
+        return float(np.mean(self.recalls))
+
+    @property
+    def avg_ndcg(self):
+        return float(np.mean(self.ndcgs))
+
+
+def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
+                    pretrain_tables: dict, cfg_factory: Callable,
+                    key: jax.Array, *, hour_interval: float = 1.0,
+                    updt_inter: int = 1, num_epochs: int | None = None,
+                    logger: Callable = print,
+                    model_cls=RAGraphEdge) -> StageResult:
+    """Run the staged loop.
+
+    Args:
+      pretrain_rows / finetune_rows / stage_rows: interaction row lists
+        ((user, item, time) triples); ``stage_rows[i]`` is ``test_{i+1}``.
+      pretrain_tables: {"user_embedding", "item_embedding"} from the
+        pretrained model.
+      cfg_factory: ``(phase: str) -> EdgeModelConfig``.
+      updt_inter: how many recent stage checkpoints feed the interpolative
+        merge (``args.updt_inter``).
+    """
+    base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
+                                hour_interval=hour_interval)
+    num_users, num_items = base_ds.num_users, base_ds.num_items
+
+    all_rows = [pretrain_rows, finetune_rows, *stage_rows]
+    saved_tables: list[dict] = []
+    recalls, ndcgs = [], []
+
+    for stage in range(1, len(stage_rows) + 1):
+        k_stage = jax.random.fold_in(key, stage)
+        test_idx = stage + 1
+        ft_idx = test_idx - 1
+
+        if len(saved_tables) >= updt_inter:
+            merged = interpolative_merge(
+                pretrain_tables, saved_tables[-updt_inter:][::-1])
+        else:
+            merged = dict(pretrain_tables)
+
+        # structural prompt graph: all data up to (incl.) the ft split
+        prompt_rows = merge_rows(all_rows[:ft_idx + 1])
+        pre_dataset = load_edge_dataset(
+            prompt_rows, all_rows[ft_idx], hour_interval=hour_interval,
+            num_users=num_users, num_items=num_items)
+
+        pre_model = model_cls(cfg_factory("for_tune"),
+                              EdgeGraphArrays.from_dataset(pre_dataset),
+                              phase="for_tune")
+        pre_params = {"user_embedding": merged["user_embedding"],
+                      "item_embedding": merged["item_embedding"]}
+        pre_u, pre_i = pre_model.generate(
+            pre_params, key=jax.random.fold_in(k_stage, 1))
+
+        ft_dataset = load_edge_dataset(
+            all_rows[ft_idx], stage_rows[stage - 1],
+            hour_interval=hour_interval, num_users=num_users,
+            num_items=num_items, phase="finetune",
+            user_hist=all_rows[:ft_idx])
+
+        model = model_cls(cfg_factory("finetune"),
+                          EdgeGraphArrays.from_dataset(ft_dataset),
+                          phase="finetune")
+        if model.use_rag:
+            model.make_resource_graph(pre_u, pre_i,
+                                      jax.random.fold_in(k_stage, 2))
+        params = model.init_params(jax.random.fold_in(k_stage, 3),
+                                   pretrained_tables=(pre_u, pre_i))
+
+        logger(f"--- stage {stage}: ft rows={len(all_rows[ft_idx])} "
+               f"test users={len(ft_dataset.test_user_dict)}")
+        trainer = EdgeTrainer(model, ft_dataset, logger=logger)
+        result = trainer.train(params, jax.random.fold_in(k_stage, 4),
+                               num_epochs=num_epochs,
+                               rng=np.random.default_rng(stage))
+
+        recalls.append(float(result.best_perform["recall"][0]))
+        ndcgs.append(float(result.best_perform["ndcg"][0]))
+        saved_tables.append({
+            "user_embedding": np.asarray(
+                result.best_params["user_embedding"]),
+            "item_embedding": np.asarray(
+                result.best_params["item_embedding"]),
+        })
+        logger(f"stage {stage}: recall={recalls[-1]:.4f} "
+               f"ndcg={ndcgs[-1]:.4f}")
+
+    return StageResult(recalls=recalls, ndcgs=ndcgs)

@@ -96,17 +96,18 @@ def inverse_sample_prob_dense(adj: jax.Array,
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
 def pagerank_edges(senders: jax.Array, receivers: jax.Array,
-                   edge_mask: jax.Array, num_nodes: int,
+                   edge_weights: jax.Array, num_nodes: int,
                    damping: float = 0.85, eps: float = 1e-6,
                    max_iters: int = 200) -> jax.Array:
-    """Sparse PageRank over a padded edge list (binary adjacency).
+    """Sparse PageRank over a (possibly weighted) edge list.
 
     Mirrors the edge-package COO variant
-    (``RAGraph_edge/modules/ragraph_utils/InverseSampling.py:22-60``):
-    dangling mass is redistributed uniformly via a scalar correction rather
-    than materializing uniform rows.
+    (``RAGraph_edge/modules/ragraph_utils/InverseSampling.py:22-60``) which
+    runs on the *binorm-weighted* adjacency values: dangling mass is
+    redistributed uniformly via a scalar correction rather than
+    materializing uniform rows. Pass a bool mask for a binary graph.
     """
-    w = edge_mask.astype(jnp.float32)
+    w = edge_weights.astype(jnp.float32)
     out_degree = jax.ops.segment_sum(w, senders, num_segments=num_nodes)
     inv_out = jnp.where(out_degree > 0, 1.0 / jnp.maximum(out_degree, 1.0), 0.0)
     dangling = out_degree == 0
@@ -131,13 +132,13 @@ def pagerank_edges(senders: jax.Array, receivers: jax.Array,
 
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
 def inverse_sample_prob_edges(senders: jax.Array, receivers: jax.Array,
-                              edge_mask: jax.Array, num_nodes: int,
+                              edge_weights: jax.Array, num_nodes: int,
                               alpha: float = 0.5, eps: float = 1e-6,
                               max_iters: int = 200) -> jax.Array:
     """Edge-list counterpart of :func:`inverse_sample_prob_dense`."""
-    pr = pagerank_edges(senders, receivers, edge_mask, num_nodes,
+    pr = pagerank_edges(senders, receivers, edge_weights, num_nodes,
                         max_iters=max_iters)
-    w = edge_mask.astype(jnp.float32)
+    w = edge_weights.astype(jnp.float32)
     degree = jax.ops.segment_sum(w, receivers, num_segments=num_nodes)
     dc = degree / jnp.maximum(jnp.asarray(num_nodes, jnp.float32) - 1.0, 1.0)
     importance = alpha * pr + (1.0 - alpha) * dc

@@ -1,0 +1,5 @@
+from ragraph_tpu.parallel.mesh import make_mesh, shard_rows, replicate  # noqa: F401
+from ragraph_tpu.parallel.sharded_index import (  # noqa: F401
+    sharded_cosine_topk, sharded_gather_rows, sharded_retrieve,
+)
+from ragraph_tpu.parallel.dp import make_dp_train_step, shard_batch  # noqa: F401

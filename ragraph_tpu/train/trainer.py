@@ -1,0 +1,120 @@
+"""Edge-model trainer: epoch loop, eval-per-epoch, early stop, checkpoints.
+
+Parity target: ``Trainer`` (``RAGraph_edge/utils/trainer.py:10-133``):
+shuffled edge batches, Adam, eval every epoch, best-recall early stopping
+with patience, save-on-best.
+
+TPU-native: the whole (loss, grads, update) step is one jitted function
+reused across epochs; batches are host-sampled (users, pos, neg) int32
+arrays of a fixed size, so there is exactly one compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ragraph_tpu.train.metrics import RankingEvaluator
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_perform: dict
+    best_params: Any
+    epochs_run: int
+    history: list
+
+
+class EdgeTrainer:
+    """Train a :class:`TemporalLightGCN`-family model on an EdgeDataset."""
+
+    def __init__(self, model, dataset, cfg=None, logger: Callable = print,
+                 evaluator: RankingEvaluator | None = None):
+        self.model = model
+        self.dataset = dataset
+        self.cfg = cfg or model.cfg
+        self.log = logger
+        self.evaluator = evaluator or RankingEvaluator(
+            metrics=self.cfg.metrics, ks=self.cfg.metrics_k,
+            eval_batch_size=self.cfg.eval_batch_size)
+
+    def _make_step(self, optimizer):
+        model = self.model
+
+        @jax.jit
+        def step(params, opt_state, users, pos, neg, key):
+            def loss_fn(p):
+                loss, aux = model.cal_loss(p, (users, pos, neg), key)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return step
+
+    def train(self, params, key: jax.Array, num_epochs: int | None = None,
+              rng: np.random.Generator | None = None) -> TrainResult:
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(0)
+        num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+        optimizer = optax.adam(cfg.lr)
+        opt_state = optimizer.init(params)
+        step = self._make_step(optimizer)
+
+        best = {"recall": np.zeros(len(cfg.metrics_k)),
+                "ndcg": np.zeros(len(cfg.metrics_k))}
+        best_params = params
+        stop_counter = 0
+        history = []
+        epochs_run = 0
+
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            ep_loss, nb = 0.0, 0
+            for users, pos, neg in self.dataset.train_batches(
+                    cfg.batch_size, rng, drop_remainder=True):
+                k = jax.random.fold_in(key, epoch * 100_000 + nb)
+                params, opt_state, loss, _ = step(
+                    params, opt_state, jnp.asarray(users), jnp.asarray(pos),
+                    jnp.asarray(neg), k)
+                ep_loss += float(loss)
+                nb += 1
+            train_time = time.time() - t0
+
+            # evaluate
+            user_emb, item_emb = self.model.generate(params)
+            result = self.evaluator.evaluate(
+                user_emb, item_emb, self.dataset.test_user_dict,
+                self.dataset.user_hist_dict)
+            history.append({"epoch": epoch, "loss": ep_loss / max(nb, 1),
+                            **{m: v.tolist() for m, v in result.items()},
+                            "train_time": round(train_time, 2)})
+            self.log(f"epoch {epoch}: loss={ep_loss / max(nb, 1):.4f} "
+                     + " ".join(f"{m}@{k}={v[i]:.4f}"
+                                for m, v in result.items()
+                                for i, k in enumerate(cfg.metrics_k))
+                     + f" ({train_time:.1f}s)")
+            epochs_run = epoch + 1
+
+            if result["recall"][0] > best["recall"][0]:
+                best = result
+                best_params = params
+                stop_counter = 0
+            else:
+                stop_counter += 1
+                if stop_counter >= cfg.early_stop_patience:
+                    self.log(f"early stop at epoch {epoch}; best recall "
+                             f"{best['recall'][0]:.4f}")
+                    break
+
+        return TrainResult(best_perform=best, best_params=best_params,
+                           epochs_run=epochs_run, history=history)

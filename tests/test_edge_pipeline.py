@@ -1,0 +1,239 @@
+"""Edge (recsys) pipeline tests: dataset, losses, models, metrics,
+trainer, and the staged fine-tune driver."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from ragraph_tpu.data.edgelist import (load_edge_dataset, merge_rows,
+                                       timestamp_to_time_step)
+from ragraph_tpu.data.synthetic import synthetic_edge_stream
+from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                     GraphPro, LightGCNEdge, RAGraphEdge,
+                                     bpr_loss, cal_infonce,
+                                     interpolative_merge,
+                                     relative_time_encoding,
+                                     staged_finetune)
+from ragraph_tpu.train import EdgeTrainer, RankingEvaluator
+
+
+@pytest.fixture(scope="module")
+def stream():
+    train, stages = synthetic_edge_stream(seed=0, num_users=48,
+                                          num_items=96, num_stages=2,
+                                          interactions_per_user=10)
+    return train, stages
+
+
+@pytest.fixture(scope="module")
+def dataset(stream):
+    train, stages = stream
+    return load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]],
+                             hour_interval=1.0)
+
+
+class TestDataset:
+    def test_time_binning(self):
+        t = np.array([0, 3600, 7200, 10800])
+        np.testing.assert_array_equal(
+            timestamp_to_time_step(t, 1.0), [0, 1, 2, 3])
+        np.testing.assert_array_equal(
+            timestamp_to_time_step(t, 2.0), [0, 0, 1, 1])
+
+    def test_shapes_and_degrees(self, dataset):
+        ds = dataset
+        assert ds.senders.shape == ds.receivers.shape == ds.edge_norm.shape
+        assert ds.senders.shape[0] == 2 * ds.num_edges
+        # binorm: weight of edge (u, i) is d_u^-1/2 d_i^-1/2
+        u, i = ds.edgelist[0]
+        du = (ds.edgelist[:, 0] == u).sum()
+        di = (ds.edgelist[:, 1] == i).sum()
+        np.testing.assert_allclose(ds.edge_norm[0],
+                                   du ** -0.5 * di ** -0.5, rtol=1e-5)
+
+    def test_negative_sampling_avoids_history(self, dataset):
+        rng = np.random.default_rng(0)
+        users = dataset.edgelist[:200, 0]
+        negs = dataset.sample_negatives(users, rng, n=2)
+        for u, row in zip(users, negs):
+            hist = set(dataset.train_user_dict[int(u)])
+            for neg in row:
+                assert int(neg) not in hist
+
+    def test_merge_rows_left_join(self):
+        a = [(0, 1, 5), (1, 2, 6)]
+        b = [(0, 3, 7), (2, 9, 8)]  # user 2 not in a -> dropped
+        merged = merge_rows([a, b])
+        assert (0, 3, 7) in merged and (2, 9, 8) not in merged
+        assert len(merged) == 3
+
+
+class TestLosses:
+    def test_bpr_perfect_separation_low(self):
+        u = jnp.ones((4, 8))
+        pos = jnp.ones((4, 8)) * 2
+        neg = -jnp.ones((4, 8))
+        good = float(bpr_loss(u, pos, neg))
+        bad = float(bpr_loss(u, neg, pos))
+        assert good < bad
+
+    def test_infonce_finite(self):
+        rng = np.random.default_rng(0)
+        v1 = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+        v2 = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+        assert np.isfinite(float(cal_infonce(v1, v2, 0.2)))
+
+    def test_relative_time_encoding_sums_to_one(self, dataset):
+        ds = dataset
+        tn = relative_time_encoding(jnp.asarray(ds.edge_times_bi),
+                                    jnp.asarray(ds.receivers),
+                                    ds.num_users + ds.num_items)
+        sums = jax.ops.segment_sum(tn, jnp.asarray(ds.receivers),
+                                   num_segments=ds.num_users + ds.num_items)
+        nonzero = np.asarray(sums)[np.asarray(sums) > 1e-6]
+        np.testing.assert_allclose(nonzero, 1.0, atol=1e-4)
+
+
+def _small_cfg(**kw):
+    base = dict(emb_size=16, num_layers=2, batch_size=128,
+                eval_batch_size=64, edge_dropout=0.3, lr=5e-3,
+                early_stop_patience=5, retrieve_num=5, retrieve_weight=0.3)
+    base.update(kw)
+    return EdgeModelConfig(**base)
+
+
+class TestModels:
+    def test_lightgcn_forward_shapes(self, dataset):
+        g = EdgeGraphArrays.from_dataset(dataset)
+        model = LightGCNEdge(_small_cfg(), g, phase="pretrain")
+        params = model.init_params(jr.key(0))
+        u, i = model.forward(params)
+        assert u.shape == (dataset.num_users, 16)
+        assert i.shape == (dataset.num_items, 16)
+
+    def test_graphpro_gating_phases(self, dataset):
+        g = EdgeGraphArrays.from_dataset(dataset)
+        cfg = _small_cfg()
+        pre = GraphPro(cfg, g, phase="pretrain")
+        params = pre.init_params(jr.key(0))
+        u0, i0 = pre.generate(params)
+
+        ft = GraphPro(cfg, g, phase="for_tune")
+        u1, i1 = ft.generate(params, key=jr.key(1))
+        # random gate must change the output
+        assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+        fin = GraphPro(cfg, g, phase="finetune")
+        p2 = fin.init_params(jr.key(2), pretrained_tables=(u0, i0))
+        assert "gating_weight" in p2 and "user_lora" not in p2
+        u2, _ = fin.generate(p2)
+        assert np.isfinite(np.asarray(u2)).all()
+
+    def test_ragraph_edge_lora_and_rag(self, dataset):
+        g = EdgeGraphArrays.from_dataset(dataset)
+        cfg = _small_cfg(lora_rank=4, use_noise=True)
+        pre = RAGraphEdge(cfg, g, phase="pretrain")
+        pre_params = pre.init_params(jr.key(0))
+        u0, i0 = pre.generate(pre_params)
+
+        fin = RAGraphEdge(cfg, g, phase="finetune")
+        fin.make_resource_graph(u0, i0, jr.key(1))
+        assert fin.resource_keys.shape[0] == g.num_nodes  # no aug/sampling
+        params = fin.init_params(jr.key(2), pretrained_tables=(u0, i0))
+        assert "user_lora" in params and "gating_weight" in params
+
+        users = jnp.arange(8, dtype=jnp.int32)
+        pos = jnp.arange(8, dtype=jnp.int32)
+        neg = jnp.arange(8, 16, dtype=jnp.int32)
+        loss, aux = fin.cal_loss(params, (users, pos, neg), jr.key(3))
+        assert np.isfinite(float(loss))
+        assert float(aux["reg_loss"]) > 0
+
+    def test_resource_graph_augment_and_sampling(self, dataset):
+        g = EdgeGraphArrays.from_dataset(dataset)
+        cfg = _small_cfg(num_augment_scale=2, num_inverse_sample=20)
+        m = RAGraphEdge(cfg, g, phase="vanilla")
+        pre = RAGraphEdge(_small_cfg(), g, phase="pretrain")
+        u0, i0 = pre.generate(pre.init_params(jr.key(0)))
+        m.make_resource_graph(u0, i0, jr.key(1))
+        assert m.resource_keys.shape == (3 * 20, 16)
+
+
+class TestMetrics:
+    def test_perfect_ranking(self):
+        # user u likes item u; embeddings engineered so rating is identity
+        eye = jnp.eye(8)
+        ev = RankingEvaluator(metrics=("recall", "ndcg", "precision", "mrr"),
+                              ks=(1, 3))
+        test = {u: [u] for u in range(8)}
+        res = ev.evaluate(eye, eye, test, {})
+        np.testing.assert_allclose(res["recall"], [1.0, 1.0], atol=1e-6)
+        np.testing.assert_allclose(res["ndcg"], [1.0, 1.0], atol=1e-6)
+
+    def test_history_masking(self):
+        eye = jnp.eye(4)
+        ev = RankingEvaluator(metrics=("recall",), ks=(1,))
+        # user 0's top item (0) is history -> should fall back to next
+        test = {0: [1]}
+        hist = {0: [0]}
+        user_emb = jnp.asarray([[10.0, 5.0, 0.0, 0.0]])
+        res = ev.evaluate(user_emb, eye, test, hist, users=[0])
+        np.testing.assert_allclose(res["recall"], [1.0], atol=1e-6)
+
+
+class TestTrainerAndStaged:
+    def test_pretrain_learns_ranking(self, stream):
+        train, stages = stream
+        ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+        g = EdgeGraphArrays.from_dataset(ds)
+        cfg = _small_cfg()
+        model = GraphPro(cfg, g, phase="pretrain")
+        params = model.init_params(jr.key(0))
+
+        ev = RankingEvaluator(ks=(20,))
+        u0, i0 = model.generate(params)
+        before = ev.evaluate(u0, i0, ds.test_user_dict, ds.user_hist_dict)
+
+        trainer = EdgeTrainer(model, ds, logger=lambda *_: None)
+        result = trainer.train(params, jr.key(1), num_epochs=15,
+                               rng=np.random.default_rng(0))
+        after = result.best_perform
+        assert after["recall"][0] > before["recall"][0]
+        assert after["recall"][0] > 0.1, f"recall {after['recall'][0]}"
+
+    def test_interpolative_merge(self):
+        pre = {"user_embedding": np.ones((4, 4), np.float32),
+               "item_embedding": np.ones((4, 4), np.float32)}
+        rec = [{"user_embedding": np.zeros((4, 4), np.float32),
+                "item_embedding": np.zeros((4, 4), np.float32)}]
+        merged = interpolative_merge(pre, rec)
+        # 0.5*1 + 0.5*0 = 0.5 per entry, then row-L2-normalized -> 1/2
+        np.testing.assert_allclose(np.asarray(merged["user_embedding"]),
+                                   0.5, atol=1e-6)
+
+    def test_staged_finetune_runs(self, stream):
+        train, stages = stream
+        ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+        cfg = _small_cfg()
+        g = EdgeGraphArrays.from_dataset(ds)
+        pre_model = GraphPro(cfg, g, phase="pretrain")
+        pre_params = pre_model.init_params(jr.key(0))
+        trainer = EdgeTrainer(pre_model, ds, logger=lambda *_: None)
+        pre_result = trainer.train(pre_params, jr.key(1), num_epochs=8,
+                                   rng=np.random.default_rng(1))
+
+        tables = {
+            "user_embedding": np.asarray(
+                pre_result.best_params["user_embedding"]),
+            "item_embedding": np.asarray(
+                pre_result.best_params["item_embedding"]),
+        }
+        res = staged_finetune(
+            train, stages[0], [stages[0], stages[1]], tables,
+            cfg_factory=lambda phase: _small_cfg(use_noise=False),
+            key=jr.key(2), num_epochs=4, logger=lambda *_: None)
+        assert len(res.recalls) == 2
+        assert all(np.isfinite(res.recalls))
+        assert res.avg_recall > 0.05
