@@ -5,3 +5,11 @@ from ragraph_tpu.data.synthetic import (  # noqa: F401
 from ragraph_tpu.data.batching import (  # noqa: F401
     flat_batches, stacked_batches, compute_pad_nodes,
 )
+from ragraph_tpu.data.edgelist import (  # noqa: F401
+    EdgeDataset, load_edge_dataset, merge_rows, parse_edge_file,
+    timestamp_to_time_step,
+)
+from ragraph_tpu.data.planetoid import (  # noqa: F401
+    load_planetoid, row_normalize_features, adj_to_bias, micro_f1,
+    sample_mask,
+)

@@ -9,3 +9,12 @@ from ragraph_tpu.models.edge.ragraph_edge import (  # noqa: F401
 from ragraph_tpu.models.edge.staged import (  # noqa: F401
     staged_finetune, interpolative_merge, StageResult,
 )
+from ragraph_tpu.models.edge.plugins import (  # noqa: F401
+    PluginBase, SGLPlugin, SimGCLPlugin, MixGCFPlugin, LightGCNPlugin,
+)
+from ragraph_tpu.models.edge.dynamic import (  # noqa: F401
+    Roland, EvolveGCNH, EvolveGCNO, gru_cell, gru_cell_init, ema_merge,
+)
+from ragraph_tpu.models.edge.graphprompt import (  # noqa: F401
+    GraphPromptEdge, make_prompted,
+)

@@ -54,6 +54,11 @@ class EdgeModelConfig:
     use_noise: bool = False
     lora_rank: int = 16
     use_lora: bool = True
+    # plugin knobs (``parse_args.py:49-63``)
+    temp: float = 0.2        # SGL InfoNCE temperature
+    lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)
+    eps: float = 0.1         # SimGCL perturbation magnitude
+    n_negs: int = 16         # MixGCF candidate negatives
 
 
 def bpr_loss(user_emb, pos_item_emb, neg_item_emb):
@@ -70,16 +75,35 @@ def nce_loss(pos_score, neg_score, edge_weight=1.0):
     return (-jnp.log(numerator / denominator) * edge_weight).mean()
 
 
-def cal_infonce(view1, view2, temperature: float, b_cos: bool = True):
-    """In-batch InfoNCE (``modules/utils.py:80-88``)."""
+def cal_infonce(view1, view2, temperature: float, b_cos: bool = True,
+                mask: jax.Array | None = None):
+    """In-batch InfoNCE (``modules/utils.py:80-88``).
+
+    ``mask`` (``(B,)`` bool) excludes padded rows — used with the
+    fixed-size ``jnp.unique`` that replaces the reference's
+    dynamic-shape ``torch.unique`` dedup (``plugins/SGL.py:111-113``).
+    """
     if b_cos:
         view1 = l2_normalize(view1)
         view2 = l2_normalize(view2)
     pos_score = jnp.exp(jnp.sum(view1 * view2, axis=-1) / temperature)
-    ttl_score = jnp.exp(jnp.dot(view1, view2.T,
-                                preferred_element_type=jnp.float32)
-                        / temperature).sum(axis=1)
-    return jnp.mean(-jnp.log(pos_score / ttl_score + 1e-5))
+    sim = jnp.dot(view1, view2.T, preferred_element_type=jnp.float32)
+    if mask is not None:
+        # padded columns must not enter any denominator
+        sim = jnp.where(mask[None, :], sim, -jnp.inf)
+    ttl_score = jnp.exp(sim / temperature).sum(axis=1)
+    losses = -jnp.log(pos_score / ttl_score + 1e-5)
+    if mask is not None:
+        mm = mask.astype(losses.dtype)
+        return jnp.sum(losses * mm) / jnp.maximum(mm.sum(), 1.0)
+    return jnp.mean(losses)
+
+
+def unique_padded(x: jax.Array, size: int):
+    """Fixed-size unique: returns (values, valid_mask); padding is -1."""
+    vals = jnp.unique(x, size=size, fill_value=-1)
+    valid = vals >= 0
+    return jnp.where(valid, vals, 0), valid
 
 
 def reg_loss_emb(user_table, item_table, users, pos_items, neg_items):

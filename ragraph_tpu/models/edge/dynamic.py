@@ -1,0 +1,202 @@
+"""Dynamic-graph baselines: ROLAND and EvolveGCN-H/-O.
+
+Parity targets (``RAGraph_edge/modules/dynamicGNN/``):
+- ``roland`` (``roland.py:35-133``): per-layer GRU fusing the current
+  propagation output with the *meta model*'s same-layer embeddings
+  (``:115-133``); meta update is an EMA
+  ``new = 0.1·current + 0.9·meta`` (``average_state_dict`` with w=0.9,
+  ``:61-77``).
+- ``evolveGCN_H`` (``evolveGCN_H.py:19-70``): one GRU step over the
+  embedding table against the previous step's embeddings, then plain
+  LightGCN propagation.
+- ``evolveGCN_O`` (``evolveGCN_O.py:20-72``): GRUCell self-evolution
+  ``h' = GRU(h, h)`` before propagation.
+
+None of these use time encoding or gating (plain binorm LightGCN).
+The GRU cell is a functional torch-parity implementation
+(``r,z = σ(W x + U h + b)``, ``n = tanh(W_n x + r∘(U_n h + b_hn))``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ragraph_tpu.models.edge.base import (bpr_loss, edge_drop_mask,
+                                          lightgcn_propagate, reg_loss_emb)
+from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN, xavier
+
+
+def gru_cell_init(key: jax.Array, size: int) -> dict:
+    """Torch-GRUCell-parity params: stacked (3H, H) weights + biases."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / jnp.sqrt(size)
+    u = lambda k, shape: jax.random.uniform(k, shape, minval=-bound,
+                                            maxval=bound)
+    return {"w_ih": u(k1, (3 * size, size)), "w_hh": u(k2, (3 * size, size)),
+            "b_ih": u(k3, (3 * size,)), "b_hh": u(k4, (3 * size,))}
+
+
+def gru_cell(params: dict, x: jax.Array, h: jax.Array) -> jax.Array:
+    """One GRU step with torch gate ordering (reset, update, new)."""
+    size = h.shape[-1]
+    gi = x @ params["w_ih"].T + params["b_ih"]
+    gh = h @ params["w_hh"].T + params["b_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1 - z) * n + z * h
+
+
+def ema_merge(current: dict, meta: dict, meta_weight: float = 0.9) -> dict:
+    """ROLAND meta update: ``(1-w)·current + w·meta`` per tensor
+    (``roland.py:20-33,61-77``)."""
+    return jax.tree.map(lambda a, b: (1 - meta_weight) * a + meta_weight * b,
+                        current, meta)
+
+
+class DynamicBase(TemporalLightGCN):
+    """Plain LightGCN engine (no time, no gate) for the dynamic models."""
+
+    use_time = False
+    use_rag = False
+
+    def _gate(self, params, all_emb, key, training):
+        return all_emb
+
+    def _plain_layers(self, params, edge_mask, all_emb):
+        g = self.graph
+        weights = g.edge_norm
+        if edge_mask is not None:
+            weights = jnp.where(edge_mask, weights, 0.0)
+        return lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
+                                  g.num_nodes, self.cfg.num_layers)
+
+    def _bpr_step(self, params, batch, key, forward_fn):
+        users, pos_items, neg_items = batch
+        mask = edge_drop_mask(key, self.graph.num_edges,
+                              1.0 - self.cfg.edge_dropout)
+        user_emb, item_emb = forward_fn(params, edge_mask=mask)
+        rec = bpr_loss(user_emb[users], item_emb[pos_items],
+                       item_emb[neg_items])
+        reg = self.cfg.weight_decay * reg_loss_emb(
+            params["user_embedding"], params["item_embedding"], users,
+            pos_items, neg_items)
+        return rec + reg, {"rec_loss": rec, "reg_loss": reg}
+
+
+class Roland(DynamicBase):
+    """ROLAND: layerwise GRU against the meta model's layer embeddings."""
+
+    def __init__(self, cfg, graph, phase: str = "finetune"):
+        super().__init__(cfg, graph, phase)
+        self.meta_layers = None  # list[(N, E)] from the meta model
+
+    def init_params(self, key, pretrained_tables=None):
+        params = super().init_params(key, pretrained_tables)
+        params.pop("gating_weight", None)
+        params.pop("gating_bias", None)
+        params["gru"] = gru_cell_init(jax.random.fold_in(key, 17),
+                                      self.cfg.emb_size)
+        return params
+
+    def set_meta_layers(self, meta_layers):
+        """Layerwise embeddings [(N, E)] of the meta model (lgn path)."""
+        self.meta_layers = [jax.lax.stop_gradient(m) for m in meta_layers]
+
+    def forward_lgn(self, params, *, edge_mask=None, return_layers=False,
+                    **_):
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        layers = self._plain_layers(params, edge_mask, all_emb)
+        if return_layers:
+            return layers
+        res = sum(layers)
+        return res[: self.graph.num_users], res[self.graph.num_users:]
+
+    def forward(self, params, *, key=None, training=False, edge_mask=None,
+                **_):
+        assert self.meta_layers is not None, "call set_meta_layers first"
+        g = self.graph
+        weights = g.edge_norm
+        if edge_mask is not None:
+            weights = jnp.where(edge_mask, weights, 0.0)
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        layers = [all_emb]
+        h = all_emb
+        for l in range(self.cfg.num_layers):
+            msgs = h[g.senders] * weights[:, None]
+            h = jax.ops.segment_sum(msgs, g.receivers,
+                                    num_segments=g.num_nodes)
+            h = gru_cell(params["gru"], h, self.meta_layers[l + 1])
+            layers.append(h)
+        res = sum(layers)
+        return res[: g.num_users], res[g.num_users:]
+
+    def cal_loss(self, params, batch, key):
+        return self._bpr_step(
+            params, batch, key,
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))
+
+
+class EvolveGCNH(DynamicBase):
+    """EvolveGCN-H: GRU over the table vs the previous step's embeddings."""
+
+    def __init__(self, cfg, graph, phase: str = "finetune"):
+        super().__init__(cfg, graph, phase)
+        self.last_emb = None  # (N, E) embeddings from the previous step
+
+    def init_params(self, key, pretrained_tables=None):
+        params = super().init_params(key, pretrained_tables)
+        params.pop("gating_weight", None)
+        params.pop("gating_bias", None)
+        params["gru"] = gru_cell_init(jax.random.fold_in(key, 19),
+                                      self.cfg.emb_size)
+        return params
+
+    def set_last_emb(self, last_emb):
+        self.last_emb = jax.lax.stop_gradient(last_emb)
+
+    def forward(self, params, *, key=None, training=False, edge_mask=None,
+                **_):
+        assert self.last_emb is not None, "call set_last_emb first"
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        all_emb = gru_cell(params["gru"], all_emb, self.last_emb)
+        layers = self._plain_layers(params, edge_mask, all_emb)
+        res = sum(layers)
+        return res[: self.graph.num_users], res[self.graph.num_users:]
+
+    def cal_loss(self, params, batch, key):
+        return self._bpr_step(
+            params, batch, key,
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))
+
+
+class EvolveGCNO(DynamicBase):
+    """EvolveGCN-O: GRUCell self-evolution of the embedding table."""
+
+    def init_params(self, key, pretrained_tables=None):
+        params = super().init_params(key, pretrained_tables)
+        params.pop("gating_weight", None)
+        params.pop("gating_bias", None)
+        params["gru"] = gru_cell_init(jax.random.fold_in(key, 23),
+                                      self.cfg.emb_size)
+        return params
+
+    def forward(self, params, *, key=None, training=False, edge_mask=None,
+                **_):
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        all_emb = gru_cell(params["gru"], all_emb, all_emb)
+        layers = self._plain_layers(params, edge_mask, all_emb)
+        res = sum(layers)
+        return res[: self.graph.num_users], res[self.graph.num_users:]
+
+    def cal_loss(self, params, batch, key):
+        return self._bpr_step(
+            params, batch, key,
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))

@@ -1,0 +1,212 @@
+"""GraphPro-plugin baselines: SGL / SimGCL / MixGCF (+ plugin LightGCN).
+
+Parity targets (``RAGraph_edge/modules/plugins/``):
+- ``GraphProPluginModel`` (``GraphProPluginModel.py:12-60``): the temporal
+  gating engine shared by the plugins — identical to
+  :class:`TemporalLightGCN` except the fine-tune gate has no dropout and
+  the ``vanilla`` phase disables time encoding. Here it is
+  :class:`PluginBase` (``emb_dropout=0`` + ``use_time`` off in vanilla).
+- ``SGL`` (``SGL.py:30-120``): BPR + reg + λ·InfoNCE between two extra
+  edge-subsampled views (keep 0.9 of the surviving edges), temperature
+  ``temp``, over the *uniqued* batch users/items (``:111-113`` — the
+  dynamic-shape ``torch.unique`` becomes a fixed-size ``jnp.unique`` with
+  a validity mask).
+- ``SimGCL`` (``SimGCL.py:21-110``): rec loss zeroed (``:82``), λ·(user CL
+  + item CL at temperature 0.2) with per-layer perturbation
+  ``eps · sign(h) · normalize(U)`` (``:55-57``).
+- ``MixGCF`` (``MixGCF.py:14-120``): hard negatives synthesized by
+  positive mixing + hop mixing over the layer-stacked embeddings
+  (``:66-85``); BPR against the hop-summed synthetic negative.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ragraph_tpu.models.edge.base import (bpr_loss, cal_infonce,
+                                          edge_drop_mask,
+                                          lightgcn_propagate, reg_loss_emb,
+                                          relative_time_encoding,
+                                          unique_padded)
+from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN
+
+
+class PluginBase(TemporalLightGCN):
+    """GraphProPluginModel engine: time encoding off in vanilla, plain
+    (dropout-free) learned gate at finetune."""
+
+    use_rag = False
+
+    @property
+    def use_time(self):  # type: ignore[override]
+        return self.phase != "vanilla"
+
+    def _gate(self, params, all_emb, key, training):
+        # finetune gate without emb_dropout (GraphProPluginModel.py:46)
+        if self.phase == "finetune":
+            from ragraph_tpu.nn.gating import learned_gate
+            return learned_gate(all_emb, params["gating_weight"],
+                                params["gating_bias"], 0.0, None)
+        return super()._gate(params, all_emb, key, training)
+
+    def init_params(self, key, pretrained_tables=None):
+        params = super().init_params(key, pretrained_tables)
+        params.pop("user_lora", None)
+        params.pop("item_lora", None)
+        return params
+
+    def _propagated(self, params, key, training, edge_mask,
+                    return_layers=False, perturb_key=None):
+        g, cfg = self.graph, self.cfg
+        weights = g.edge_norm
+        if edge_mask is not None:
+            weights = jnp.where(edge_mask, weights, 0.0)
+        if self.use_time:
+            tn = relative_time_encoding(g.edge_times, g.receivers,
+                                        g.num_nodes, edge_mask=edge_mask)
+            weights = weights * 0.5 + tn * 0.5
+        u, it = self._effective_tables(params, key, training)
+        all_emb = jnp.concatenate([u, it], axis=0)
+        all_emb = self._gate(params, all_emb, key, training)
+
+        if perturb_key is None:
+            layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
+                                        weights, g.num_nodes, cfg.num_layers)
+        else:
+            # SimGCL per-layer perturbation (SimGCL.py:55-57)
+            layers = [all_emb]
+            h = all_emb
+            for l in range(cfg.num_layers):
+                msgs = h[g.senders] * weights[:, None]
+                h = jax.ops.segment_sum(msgs, g.receivers,
+                                        num_segments=g.num_nodes)
+                noise = jax.random.uniform(
+                    jax.random.fold_in(perturb_key, l), h.shape)
+                noise = noise / jnp.maximum(
+                    jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-12)
+                h = h + jnp.sign(h) * noise * cfg.eps
+                layers.append(h)
+        if return_layers:
+            return layers
+        return sum(layers)
+
+    def forward(self, params, *, key=None, training=False, edge_mask=None,
+                max_time_step=None, perturb_key=None):
+        res = self._propagated(params, key, training, edge_mask,
+                               perturb_key=perturb_key)
+        return res[: self.graph.num_users], res[self.graph.num_users:]
+
+
+class SGLPlugin(PluginBase):
+    """SGL: edge-drop contrastive views on top of BPR."""
+
+    def cal_loss(self, params, batch, key):
+        users, pos_items, neg_items = batch
+        cfg, g = self.cfg, self.graph
+        k_drop, k_fwd, k_v1, k_v2, k_cl = jax.random.split(key, 5)
+        mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
+
+        user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
+                                          edge_mask=mask)
+        rec = bpr_loss(user_emb[users], item_emb[pos_items],
+                       item_emb[neg_items])
+        u_t, i_t = self._effective_tables(params, None, False)
+        reg = cfg.weight_decay * reg_loss_emb(u_t, i_t, users, pos_items,
+                                              neg_items)
+
+        # two extra 0.9-keep subsamples of the surviving edges (SGL.py:96-97)
+        m1 = mask & edge_drop_mask(k_v1, g.num_edges, 0.9)
+        m2 = mask & edge_drop_mask(k_v2, g.num_edges, 0.9)
+        u1, i1 = self.forward(params, key=k_fwd, training=True, edge_mask=m1)
+        u2, i2 = self.forward(params, key=k_fwd, training=True, edge_mask=m2)
+
+        uu, um = unique_padded(users, users.shape[0])
+        iu, im = unique_padded(pos_items, pos_items.shape[0])
+        view1 = jnp.concatenate([u1[uu], i1[iu]], axis=0)
+        view2 = jnp.concatenate([u2[uu], i2[iu]], axis=0)
+        vmask = jnp.concatenate([um, im], axis=0)
+        cl = cfg.lbd * cal_infonce(view1, view2, cfg.temp, mask=vmask)
+
+        loss = rec + reg + cl
+        return loss, {"rec_loss": rec, "reg_loss": reg, "cl_loss": cl}
+
+
+class SimGCLPlugin(PluginBase):
+    """SimGCL: embedding-perturbation contrastive (no BPR term)."""
+
+    def cal_loss(self, params, batch, key):
+        users, pos_items, neg_items = batch
+        cfg, g = self.cfg, self.graph
+        k_drop, k_fwd, k_p1, k_p2 = jax.random.split(key, 4)
+        # fixed 0.5 keep rate (SimGCL.py:74)
+        mask = edge_drop_mask(k_drop, g.num_edges, 0.5)
+
+        u_t, i_t = self._effective_tables(params, None, False)
+        reg = cfg.weight_decay * reg_loss_emb(u_t, i_t, users, pos_items,
+                                              neg_items)
+
+        uv1, iv1 = self.forward(params, key=k_fwd, training=True,
+                                edge_mask=mask, perturb_key=k_p1)
+        uv2, iv2 = self.forward(params, key=k_fwd, training=True,
+                                edge_mask=mask, perturb_key=k_p2)
+        uu, um = unique_padded(users, users.shape[0])
+        iu, im = unique_padded(pos_items, pos_items.shape[0])
+        cl = cfg.lbd * (cal_infonce(uv1[uu], uv2[uu], 0.2, mask=um)
+                        + cal_infonce(iv1[iu], iv2[iu], 0.2, mask=im))
+
+        rec = jnp.float32(0.0)  # SimGCL.py:82 zeroes the BPR term
+        loss = rec + reg + cl
+        return loss, {"rec_loss": rec, "reg_loss": reg, "cl_loss": cl}
+
+
+class MixGCFPlugin(PluginBase):
+    """MixGCF: positive-mixing + hop-mixing hard negative synthesis."""
+
+    def _mix_negatives(self, user_layers, item_layers, users, neg_candidates,
+                       pos_items, key):
+        """(MixGCF.py:66-85): per (user, positive), mix the positive into
+        ``n_negs`` candidate negatives per hop with random convex weights,
+        then pick the hardest candidate per hop by inner-product score."""
+        s_e = user_layers[users]                      # (B, L+1, E)
+        p_e = item_layers[pos_items]                  # (B, L+1, E)
+        n_e = item_layers[neg_candidates]             # (B, n_negs, L+1, E)
+        b, n_negs, hops, e = n_e.shape
+        seed = jax.random.uniform(key, (b, 1, hops, 1))
+        mixed = seed * p_e[:, None, :, :] + (1 - seed) * n_e
+        scores = jnp.einsum("ble,bnle->bnl", s_e, mixed)   # (B, n_negs, L+1)
+        hard = jnp.argmax(scores, axis=1)                  # (B, L+1)
+        hard = jax.lax.stop_gradient(hard)
+        picked = jnp.take_along_axis(
+            mixed, hard[:, None, :, None], axis=1)[:, 0]   # (B, L+1, E)
+        return picked
+
+    def cal_loss(self, params, batch, key):
+        """``batch`` = (users, pos_items, neg_candidates (B, n_negs))."""
+        users, pos_items, neg_candidates = batch
+        cfg, g = self.cfg, self.graph
+        k_drop, k_fwd, k_mix = jax.random.split(key, 3)
+        mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
+
+        layers = self._propagated(params, k_fwd, True, mask,
+                                  return_layers=True)
+        stacked = jnp.stack(layers, axis=1)            # (N, L+1, E)
+        user_layers = stacked[: g.num_users]
+        item_layers = stacked[g.num_users:]
+        user_emb = stacked[: g.num_users].sum(axis=1)
+        item_emb = stacked[g.num_users:].sum(axis=1)
+
+        neg_emb = self._mix_negatives(user_layers, item_layers, users,
+                                      neg_candidates, pos_items,
+                                      k_mix).sum(axis=1)
+        rec = bpr_loss(user_emb[users], item_emb[pos_items], neg_emb)
+        u_t, i_t = self._effective_tables(params, None, False)
+        reg = cfg.weight_decay * reg_loss_emb(u_t, i_t, users, pos_items,
+                                              neg_candidates[:, 0])
+        loss = rec + reg
+        return loss, {"rec_loss": rec, "reg_loss": reg}
+
+
+class LightGCNPlugin(PluginBase):
+    """Plugin-flavor LightGCN (``plugins/LightGCN.py:20``): the PluginBase
+    engine with plain BPR (inherits TemporalLightGCN.cal_loss)."""

@@ -7,3 +7,7 @@ from ragraph_tpu.nn.heads import (  # noqa: F401
 )
 from ragraph_tpu.nn.lora import LoRAFactors, svd_init, apply_lora  # noqa: F401
 from ragraph_tpu.nn.gating import learned_gate, random_gate  # noqa: F401
+from ragraph_tpu.nn.prompts import (  # noqa: F401
+    DownPrompt, DownstreamPrompt, WeightedPrompt, WeightedFeature,
+    average_emb, sum_pool_by_graph, distance_to_center, onehot,
+)

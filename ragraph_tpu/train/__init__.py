@@ -1,2 +1,10 @@
 from ragraph_tpu.train.metrics import RankingEvaluator  # noqa: F401
 from ragraph_tpu.train.trainer import EdgeTrainer, TrainResult  # noqa: F401
+from ragraph_tpu.train.checkpoint import (  # noqa: F401
+    save_checkpoint, restore_checkpoint, BestCheckpointKeeper,
+)
+from ragraph_tpu.train.logging import RunLogger, log_exceptions  # noqa: F401
+from ragraph_tpu.train.profiling import (  # noqa: F401
+    phase, phase_totals, annotate, start_trace, stop_trace,
+    tree_all_finite, assert_all_finite,
+)

@@ -1,0 +1,186 @@
+"""Tests for the plugin / dynamic / prompt baseline model families."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from ragraph_tpu.data.edgelist import load_edge_dataset
+from ragraph_tpu.data.synthetic import synthetic_edge_stream
+from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                     EvolveGCNH, EvolveGCNO,
+                                     GraphPromptEdge, LightGCNPlugin,
+                                     MixGCFPlugin, Roland, SGLPlugin,
+                                     SimGCLPlugin, ema_merge, gru_cell,
+                                     gru_cell_init, make_prompted)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    train, stages = synthetic_edge_stream(seed=3, num_users=32,
+                                          num_items=64, num_stages=1,
+                                          interactions_per_user=8)
+    ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+    g = EdgeGraphArrays.from_dataset(ds)
+    cfg = EdgeModelConfig(emb_size=16, num_layers=2, batch_size=64,
+                          edge_dropout=0.3, n_negs=4)
+    batch = (jnp.arange(16, dtype=jnp.int32),
+             jnp.arange(16, dtype=jnp.int32),
+             jnp.arange(16, 32, dtype=jnp.int32))
+    return ds, g, cfg, batch
+
+
+class TestGRU:
+    def test_gru_gates_bounded(self):
+        params = gru_cell_init(jr.key(0), 8)
+        x = jnp.ones((4, 8))
+        h = jnp.zeros((4, 8))
+        out = gru_cell(params, x, h)
+        assert out.shape == (4, 8)
+        assert np.all(np.abs(np.asarray(out)) <= 1.0)  # (1-z)*tanh + z*0
+
+    def test_gru_identity_at_full_update(self):
+        """z -> 1 keeps the hidden state."""
+        params = gru_cell_init(jr.key(1), 4)
+        params = dict(params, b_ih=params["b_ih"].at[4:8].set(100.0))
+        h = jnp.asarray(np.random.default_rng(0)
+                        .normal(size=(3, 4)).astype(np.float32))
+        out = gru_cell(params, jnp.zeros((3, 4)), h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(h), atol=1e-4)
+
+    def test_ema_merge(self):
+        cur = {"a": jnp.ones((2,))}
+        meta = {"a": jnp.zeros((2,))}
+        out = ema_merge(cur, meta, meta_weight=0.9)
+        np.testing.assert_allclose(np.asarray(out["a"]), 0.1, atol=1e-6)
+
+
+class TestPlugins:
+    def test_sgl_loss_finite_and_has_cl(self, setup):
+        ds, g, cfg, batch = setup
+        m = SGLPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        loss, aux = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+        assert float(aux["cl_loss"]) != 0.0
+
+    def test_simgcl_no_rec_term(self, setup):
+        ds, g, cfg, batch = setup
+        m = SimGCLPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        loss, aux = m.cal_loss(params, batch, jr.key(1))
+        assert float(aux["rec_loss"]) == 0.0
+        assert np.isfinite(float(loss))
+
+    def test_simgcl_perturbation_changes_views(self, setup):
+        ds, g, cfg, batch = setup
+        m = SimGCLPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        u1, _ = m.forward(params, perturb_key=jr.key(1))
+        u2, _ = m.forward(params, perturb_key=jr.key(2))
+        u0, _ = m.forward(params)
+        assert not np.allclose(np.asarray(u1), np.asarray(u2))
+        assert not np.allclose(np.asarray(u1), np.asarray(u0))
+
+    def test_mixgcf_hard_negatives(self, setup):
+        ds, g, cfg, batch = setup
+        m = MixGCFPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        users, pos, _ = batch
+        negs = jnp.asarray(np.random.default_rng(0).integers(
+            0, ds.num_items, size=(16, cfg.n_negs)), dtype=jnp.int32)
+        loss, aux = m.cal_loss(params, (users, pos, negs), jr.key(1))
+        assert np.isfinite(float(loss))
+
+    def test_plugin_lightgcn_and_grads(self, setup):
+        ds, g, cfg, batch = setup
+        m = LightGCNPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        grads = jax.grad(lambda p: m.cal_loss(p, batch, jr.key(1))[0])(params)
+        gnorm = float(jnp.linalg.norm(grads["user_embedding"]))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_plugin_vanilla_phase_no_time(self, setup):
+        ds, g, cfg, batch = setup
+        m = SGLPlugin(cfg, g, phase="vanilla")
+        assert m.use_time is False
+        m2 = SGLPlugin(cfg, g, phase="pretrain")
+        assert m2.use_time is True
+
+
+class TestDynamic:
+    def test_evolvegcn_o(self, setup):
+        ds, g, cfg, batch = setup
+        m = EvolveGCNO(cfg, g)
+        params = m.init_params(jr.key(0))
+        loss, _ = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+
+    def test_evolvegcn_h_needs_last_emb(self, setup):
+        ds, g, cfg, batch = setup
+        m = EvolveGCNH(cfg, g)
+        params = m.init_params(jr.key(0))
+        m.set_last_emb(jnp.zeros((g.num_nodes, cfg.emb_size)))
+        u, i = m.forward(params)
+        assert u.shape == (g.num_users, cfg.emb_size)
+        loss, _ = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+
+    def test_roland_meta_fusion(self, setup):
+        ds, g, cfg, batch = setup
+        m = Roland(cfg, g)
+        params = m.init_params(jr.key(0))
+        # meta layers from the plain lgn path of the same params
+        meta_layers = m.forward_lgn(params, return_layers=True)
+        m.set_meta_layers(meta_layers)
+        u, i = m.forward(params)
+        assert u.shape == (g.num_users, cfg.emb_size)
+        loss, _ = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+
+
+class TestGraphPrompt:
+    @pytest.mark.parametrize("mode", ["graphprompt", "gpf"])
+    def test_prompt_modes(self, setup, mode):
+        ds, g, cfg, batch = setup
+        m = GraphPromptEdge(cfg, g, prompt_mode=mode)
+        params = m.init_params(jr.key(0))
+        assert "prompt_vec" in params
+        loss, _ = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+        # prompt must receive gradient
+        grads = jax.grad(lambda p: m.cal_loss(p, batch, jr.key(1))[0])(params)
+        assert float(jnp.abs(grads["prompt_vec"]).sum()) > 0
+
+    def test_graphprompt_scaling_matches_per_message(self, setup):
+        """layer_l * p^l == per-hop message prompting (commutation)."""
+        ds, g, cfg, batch = setup
+        m = GraphPromptEdge(cfg, g, prompt_mode="graphprompt")
+        params = m.init_params(jr.key(0))
+        u1, i1 = m.forward(params)
+        # manual per-message application
+        import jax.numpy as jnp
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        p = params["prompt_vec"]
+        layers = [all_emb]
+        h = all_emb
+        for _ in range(cfg.num_layers):
+            msgs = (h[g.senders] * g.edge_norm[:, None]) * p
+            h = jax.ops.segment_sum(msgs, g.receivers,
+                                    num_segments=g.num_nodes)
+            layers.append(h)
+        res = sum(layers)
+        np.testing.assert_allclose(np.asarray(u1),
+                                   np.asarray(res[: g.num_users]),
+                                   atol=1e-5)
+
+    def test_prompted_plugin_cross(self, setup):
+        ds, g, cfg, batch = setup
+        cls = make_prompted(SGLPlugin, "graphprompt")
+        m = cls(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        assert "prompt_vec" in params
+        loss, _ = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
