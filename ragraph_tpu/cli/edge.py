@@ -1,0 +1,216 @@
+"""Edge (recsys) CLI drivers.
+
+Reference entry points replaced:
+- ``RAGraph_edge/pretrain.py`` → ``python -m ragraph_tpu.cli.edge pretrain``
+- ``RAGraph_edge/finetune_rag.py`` → ``... finetune``
+- ``RAGraph_edge/finetune_noise.py`` → ``... finetune --noise``
+- ``RAGraph_edge/vanilla_ragraph.py`` → ``... vanilla``
+
+Dataset layout (reference ``finetune_rag.py:40-47``): ``<data>/pretrain.txt``,
+``pretrain_val.txt``, ``fine_tune.txt``, ``test_1.txt..test_N.txt``
+(N=8 for amazon else 4). ``--dataset SYNTH`` runs on generated data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("ragraph_tpu.edge")
+    p.add_argument("mode", choices=["pretrain", "finetune", "vanilla"])
+    p.add_argument("--data-path", default="SYNTH")
+    p.add_argument("--model", default="RAGraph",
+                   choices=["RAGraph", "GraphPro", "LightGCN", "SGL",
+                            "SimGCL", "MixGCF"])
+    p.add_argument("--noise", action="store_true")
+    p.add_argument("--emb-size", type=int, default=64)
+    p.add_argument("--num-layers", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--edge-dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--hour-interval", type=float, default=1.0)
+    p.add_argument("--updt-inter", type=int, default=1)
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--save-dir", default="saved")
+    p.add_argument("--pre-model-path", default=None,
+                   help="pretrained checkpoint (embeddings) to load")
+    return p
+
+
+MODEL_CLASSES = {}
+
+
+def _model_cls(name):
+    from ragraph_tpu.models.edge import (GraphPro, LightGCNEdge,
+                                         MixGCFPlugin, RAGraphEdge,
+                                         SGLPlugin, SimGCLPlugin)
+    return {"RAGraph": RAGraphEdge, "GraphPro": GraphPro,
+            "LightGCN": LightGCNEdge, "SGL": SGLPlugin,
+            "SimGCL": SimGCLPlugin, "MixGCF": MixGCFPlugin}[name]
+
+
+def _load_rows(args):
+    if args.data_path == "SYNTH":
+        from ragraph_tpu.data import synthetic_edge_stream
+        train, stages = synthetic_edge_stream(seed=0, num_users=64,
+                                              num_items=128, num_stages=5)
+        # hold out the first generated stage as the pretrain val split
+        # (mirrors pretrain.txt / pretrain_val.txt being disjoint)
+        return train, stages[0], stages[1:]
+    from ragraph_tpu.data import parse_edge_file
+    base = args.data_path
+    n = 8 if os.path.basename(base) == "amazon" else 4
+    train = parse_edge_file(os.path.join(base, "pretrain.txt"))
+    finetune = parse_edge_file(os.path.join(base, "fine_tune.txt"))
+    stages = [parse_edge_file(os.path.join(base, f"test_{i}.txt"))
+              for i in range(1, n + 1)]
+    return train, finetune, stages
+
+
+def _cfg(args, phase, dataset_name, num_nodes=None):
+    from ragraph_tpu.models.edge import edge_config_for
+    return edge_config_for(
+        dataset_name, phase, num_nodes=num_nodes,
+        emb_size=args.emb_size, num_layers=args.num_layers,
+        edge_dropout=args.edge_dropout, lr=args.lr,
+        num_epochs=args.epochs, early_stop_patience=args.patience,
+        use_noise=args.noise,
+        batch_size=min(args.batch_size, 4096))
+
+
+def run_pretrain(args):
+    import jax.random as jr
+
+    from ragraph_tpu.data import load_edge_dataset
+    from ragraph_tpu.models.edge import EdgeGraphArrays
+    from ragraph_tpu.train import (BestCheckpointKeeper, EdgeTrainer,
+                                   RunLogger)
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(save_dir=args.save_dir, exp_name="edge-pretrain")
+    _, rng = seed_everything(args.seed)
+    train_rows, val_rows, _ = _load_rows(args)
+    ds = load_edge_dataset(train_rows,
+                           [(u, i) for (u, i, *_) in val_rows],
+                           hour_interval=args.hour_interval)
+    name = os.path.basename(args.data_path)
+    cfg = _cfg(args, "pretrain", name)
+    model = _model_cls(args.model)(cfg, EdgeGraphArrays.from_dataset(ds),
+                                   phase="pretrain")
+    params = model.init_params(jr.key(args.seed))
+    trainer = EdgeTrainer(model, ds, logger=log)
+    result = trainer.train(params, jr.key(args.seed + 1), rng=rng)
+    keeper = BestCheckpointKeeper(args.save_dir,
+                                  name=f"pretrain_{args.model}_{name}")
+    keeper.update(float(result.best_perform["recall"][0]),
+                  {"user_embedding": np.asarray(
+                      result.best_params["user_embedding"]),
+                   "item_embedding": np.asarray(
+                      result.best_params["item_embedding"])})
+    log(f"best recall {result.best_perform['recall'][0]:.5f}; "
+        f"checkpoint {keeper.path}")
+    return keeper.path
+
+
+def run_finetune(args):
+    import jax.random as jr
+
+    from ragraph_tpu.models.edge import staged_finetune
+    from ragraph_tpu.train import RunLogger, restore_checkpoint
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(save_dir=args.save_dir, exp_name="edge-finetune")
+    seed_everything(args.seed)
+    train_rows, ft_rows, stage_rows = _load_rows(args)
+    name = os.path.basename(args.data_path)
+
+    if args.pre_model_path:
+        tables = restore_checkpoint(args.pre_model_path, use_orbax=False)
+    else:
+        default = os.path.join(args.save_dir,
+                               f"pretrain_{args.model}_{name}")
+        try:
+            tables = restore_checkpoint(default, use_orbax=False)
+            log(f"loaded pretrain tables from {default}")
+        except FileNotFoundError:
+            log("no pretrain checkpoint; running pretrain first")
+            run_pretrain(args)
+            tables = restore_checkpoint(default, use_orbax=False)
+
+    result = staged_finetune(
+        train_rows, ft_rows, stage_rows, tables,
+        cfg_factory=lambda phase: _cfg(args, phase, name),
+        key=jr.key(args.seed), hour_interval=args.hour_interval,
+        updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
+        model_cls=_model_cls(args.model))
+    log(f"recalls: {result.recalls}")
+    log(f"ndcgs:   {result.ndcgs}")
+    log(f"avg recall {result.avg_recall:.5f} avg ndcg {result.avg_ndcg:.5f}")
+    out = os.path.join(args.save_dir, f"finetune_{args.model}_{name}.json")
+    with open(out, "w") as f:
+        json.dump({"recalls": result.recalls, "ndcgs": result.ndcgs,
+                   "avg_recall": result.avg_recall,
+                   "avg_ndcg": result.avg_ndcg}, f, indent=2)
+    return result
+
+
+def run_vanilla(args):
+    """Training-free staged eval (``vanilla_ragraph.py:49-105``)."""
+    import jax.random as jr
+
+    from ragraph_tpu.data import load_edge_dataset, merge_rows
+    from ragraph_tpu.models.edge import EdgeGraphArrays, RAGraphEdge
+    from ragraph_tpu.train import (RankingEvaluator, RunLogger,
+                                   restore_checkpoint)
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(save_dir=args.save_dir, exp_name="edge-vanilla")
+    seed_everything(args.seed)
+    train_rows, ft_rows, stage_rows = _load_rows(args)
+    name = os.path.basename(args.data_path)
+    default = os.path.join(args.save_dir, f"pretrain_{args.model}_{name}")
+    tables = restore_checkpoint(default, use_orbax=False)
+
+    import jax.numpy as jnp
+    all_rows = [train_rows, ft_rows, *stage_rows]
+    recalls, ndcgs = [], []
+    ev = RankingEvaluator(ks=(20,))
+    for stage in range(1, len(stage_rows) + 1):
+        prompt_rows = merge_rows(all_rows[: stage + 1])
+        ds = load_edge_dataset(prompt_rows, stage_rows[stage - 1],
+                               hour_interval=args.hour_interval)
+        cfg = _cfg(args, "vanilla", name, num_nodes=ds.num_nodes)
+        model = RAGraphEdge(cfg, EdgeGraphArrays.from_dataset(ds),
+                            phase="vanilla")
+        params = {"user_embedding": jnp.asarray(tables["user_embedding"]),
+                  "item_embedding": jnp.asarray(tables["item_embedding"])}
+        u0, i0 = model.generate(params)
+        model.make_resource_graph(u0, i0, jr.key(stage))
+        user_emb, item_emb = model.generate(params)
+        result = ev.evaluate(user_emb, item_emb, ds.test_user_dict,
+                             ds.user_hist_dict)
+        recalls.append(float(result["recall"][0]))
+        ndcgs.append(float(result["ndcg"][0]))
+        log(f"stage {stage}: recall={recalls[-1]:.5f} ndcg={ndcgs[-1]:.5f}")
+    log(f"avg recall {np.mean(recalls):.5f} avg ndcg {np.mean(ndcgs):.5f}")
+    return recalls, ndcgs
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.mode == "pretrain":
+        return run_pretrain(args)
+    if args.mode == "vanilla":
+        return run_vanilla(args)
+    return run_finetune(args)
+
+
+if __name__ == "__main__":
+    main()

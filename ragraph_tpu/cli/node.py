@@ -1,0 +1,241 @@
+"""Node/graph-task CLI drivers.
+
+Reference entry points replaced (one typed driver instead of five
+copy-pasted scripts):
+- ``RAGraph_node/pretrain.py`` → ``python -m ragraph_tpu.cli.node pretrain``
+- ``RAGraph_node/finetune-rag.py`` → ``... finetune``
+- ``RAGraph_node/finetune-noise.py`` → ``... finetune --noise``
+- ``RAGraph_node/vanilla-rag.py`` → ``... vanilla``
+- graph-level variants via ``--level graph``.
+
+Protocol parity: 5 seeded reruns with shuffled 0.5/0.3/0.8 splits
+(``finetune-rag.py:45-55``), library built from train, fine-tune on val,
+val entries appended before test (``:97``), mean±std accuracy + JSON dump
+(``:117-132``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("ragraph_tpu.node")
+    p.add_argument("mode", choices=["pretrain", "finetune", "vanilla"])
+    p.add_argument("--dataset", default="SYNTH",
+                   help="TU dataset name, or SYNTH for synthetic")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--level", choices=["node", "graph"], default="node")
+    p.add_argument("--noise", action="store_true",
+                   help="adversarial noise-retrieval fine-tuning")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--encoder-layers", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--pretrain-epochs", type=int, default=30)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--test-times", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-dir", default="modelset")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--library-capacity", type=int, default=65536)
+    return p
+
+
+def load_dataset(args):
+    from ragraph_tpu.data import load_tu_dataset, synthetic_tu_dataset
+    if args.dataset == "SYNTH":
+        return synthetic_tu_dataset(seed=0, num_graphs=120, num_classes=3,
+                                    feat_dim=16)
+    return load_tu_dataset(args.data_root, args.dataset)
+
+
+def run_pretrain(args):
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    import optax
+
+    from ragraph_tpu.data import flat_batches
+    from ragraph_tpu.models import PrePrompt, prompt_pretrain_sample
+    from ragraph_tpu.train import BestCheckpointKeeper, RunLogger
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(exp_name="node-pretrain")
+    _, rng = seed_everything(args.seed)
+    ds = load_dataset(args)
+    pad = args.batch_size * max(g.features.shape[0] for g in ds.graphs)
+
+    model = PrePrompt(hidden=args.hidden, num_layers=args.encoder_layers)
+    g0 = next(flat_batches(ds.graphs, args.batch_size, pad))
+    params = model.init({"params": jr.key(args.seed),
+                         "dropout": jr.key(args.seed + 1)},
+                        g0.features, g0.adj,
+                        jnp.zeros((pad, 3), jnp.int32), g0.node_mask)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, feats, adj, tuples, mask, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.apply(p, feats, adj, tuples, mask,
+                                  rngs={"dropout": key}))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    keeper = BestCheckpointKeeper(args.save_dir,
+                                  name=f"model_{args.dataset}")
+    for epoch in range(args.pretrain_epochs):
+        tot, nb = 0.0, 0
+        for g in flat_batches(ds.graphs, args.batch_size, pad):
+            raw = np.asarray(g.adj) > 0
+            np.fill_diagonal(raw, False)
+            tuples = jnp.asarray(prompt_pretrain_sample(
+                raw.astype(np.float32), 100, rng, np.asarray(g.node_mask)))
+            params, opt_state, loss = step(
+                params, opt_state, g.features, g.adj, tuples, g.node_mask,
+                jr.fold_in(jr.key(args.seed + 2), epoch * 1000 + nb))
+            tot += float(loss)
+            nb += 1
+        log.log_loss(epoch, {"lp_loss": tot / max(nb, 1)})
+        keeper.update(-tot / max(nb, 1), params)  # best (lowest) loss
+    log(f"saved best pretrain checkpoint: {keeper.path}")
+    return keeper.path
+
+
+def _eval_once(args, ds, enc_params, seed_i, log):
+    import jax.random as jr
+    import optax
+
+    from ragraph_tpu.data import flat_batches, stacked_batches
+    from ragraph_tpu.models import (RAGraphGraph, RAGraphGraphConfig,
+                                    RAGraphNode, RAGraphNodeConfig,
+                                    GRAPH_FUSION_WEIGHTS,
+                                    graph_library_config)
+    from ragraph_tpu.rag import LibraryConfig
+
+    rng = np.random.default_rng(seed_i)
+    ds = ds.shuffle(rng)
+    train, val, test = ds.subset(0, .5), ds.subset(.5, .8), ds.subset(.8, 1)
+    pad = args.batch_size * max(g.features.shape[0] for g in ds.graphs)
+    finetune = args.mode == "finetune"
+    num_class = max(ds.num_node_classes, ds.num_graph_classes, 2)
+
+    if args.level == "node":
+        libcfg = LibraryConfig(level="node",
+                               retrieve_num=num_class + 1,
+                               toy_graph_hop=2)
+        cfg = RAGraphNodeConfig(emb_size=args.hidden, num_class=num_class,
+                                finetune=finetune,
+                                noise_finetune=args.noise,
+                                encoder_layers=args.encoder_layers,
+                                library=libcfg)
+        task = RAGraphNode(cfg, feature_dim=ds.num_node_attributes)
+    else:
+        rw, lw = GRAPH_FUSION_WEIGHTS.get(args.dataset, (0.3, 0.3))
+        cfg = RAGraphGraphConfig(emb_size=args.hidden, num_class=num_class,
+                                 retrieve_weight=rw, label_weight=lw,
+                                 finetune=finetune,
+                                 noise_finetune=args.noise,
+                                 encoder_layers=args.encoder_layers,
+                                 library=graph_library_config(num_class))
+        task = RAGraphGraph(cfg, feature_dim=ds.num_node_attributes)
+
+    state = task.init_state(jr.key(seed_i), encoder_params=enc_params,
+                            library_capacity=args.library_capacity)
+    state = task.build_library(
+        state, stacked_batches(train.graphs, args.batch_size,
+                               num_classes=num_class,
+                               num_graph_classes=num_class),
+        jr.key(seed_i + 1))
+
+    if finetune:
+        opt = optax.adam(args.lr)
+        tstep = task.make_train_step(opt)
+        opt_state = opt.init({"encoder": state.encoder_params,
+                              "decoder": state.decoder_params})
+        if args.level == "node":
+            batches = list(flat_batches(val.graphs, args.batch_size, pad,
+                                        num_classes=num_class))
+        else:
+            batches = list(stacked_batches(val.graphs, args.batch_size,
+                                           num_classes=num_class,
+                                           num_graph_classes=num_class))
+        for epoch in range(args.epochs):
+            tot = 0.0
+            for i, b in enumerate(batches):
+                state, opt_state, loss = tstep(
+                    state, opt_state, b,
+                    jr.fold_in(jr.key(seed_i + 2), epoch * 1000 + i))
+                tot += float(loss)
+            if epoch % 10 == 0:
+                log.log_loss(epoch, {"loss": tot / max(len(batches), 1)})
+
+    # reference protocol: append val entries before test
+    state = task.build_library(
+        state, stacked_batches(val.graphs, args.batch_size,
+                               num_classes=num_class,
+                               num_graph_classes=num_class),
+        jr.key(seed_i + 3))
+    if args.level == "node":
+        acc = task.accuracy(state, flat_batches(test.graphs,
+                                                args.batch_size, pad,
+                                                num_classes=num_class))
+    else:
+        acc = task.accuracy(state, stacked_batches(test.graphs,
+                                                   args.batch_size,
+                                                   num_classes=num_class,
+                                                   num_graph_classes=num_class))
+    return acc
+
+
+def run_eval(args):
+    import jax.random as jr
+
+    from ragraph_tpu.models import PrePrompt
+    from ragraph_tpu.train import RunLogger, restore_checkpoint
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(exp_name=f"node-{args.mode}")
+    seed_everything(args.seed)
+    ds = load_dataset(args)
+
+    ckpt = os.path.join(args.save_dir, f"model_{args.dataset}")
+    enc_params = None
+    try:
+        enc_params = restore_checkpoint(ckpt, use_orbax=False)
+        log(f"loaded pretrain checkpoint {ckpt}")
+    except FileNotFoundError:
+        log("no pretrain checkpoint found; using random encoder init")
+
+    accs = []
+    for i in range(args.test_times):
+        acc = _eval_once(args, ds, enc_params, i, log)
+        accs.append(100.0 * acc)
+        log(f"run {i + 1}/{args.test_times}: accuracy {accs[-1]:.4f}")
+
+    mean, std = float(np.mean(accs)), float(np.std(accs))
+    log(f"Mean: [{mean:.4f}]  Std: [{std:.4f}]")
+    os.makedirs(args.results_dir, exist_ok=True)
+    tag = "noise" if args.noise else args.mode
+    out = os.path.join(args.results_dir,
+                       f"{tag}_{args.level}_{args.dataset}.json")
+    with open(out, "w") as f:
+        json.dump({"mean": mean, "std": std, "accuracy": accs}, f, indent=4)
+    log(f"results written to {out}")
+    return mean
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.mode == "pretrain":
+        return run_pretrain(args)
+    return run_eval(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,10 +32,25 @@ def timestamp_to_time_step(timestamps: np.ndarray, hour_interval: float,
     return (timestamps - least_time) // int(hour_interval * 3600)
 
 
-def parse_edge_file(path_or_rows, has_time: bool = True):
-    """Parse a tab-separated edge file or an iterable of (u, i, t) rows."""
+def parse_edge_file(path_or_rows, has_time: bool = True,
+                    use_native: bool = True):
+    """Parse a tab-separated edge file or an iterable of (u, i, t) rows.
+
+    File paths go through the C++ fastgraph parser when available
+    (``native/fastgraph.cpp``) — the Python fallback mirrors the
+    reference's line loop (``RAGraph_edge/utils/dataloader.py:47-61``).
+    """
     rows = []
     if isinstance(path_or_rows, str):
+        if use_native:
+            from ragraph_tpu.utils.native import parse_edge_file_native
+            parsed = parse_edge_file_native(path_or_rows)
+            if parsed is not None:
+                users, items, times = parsed
+                if not has_time:
+                    times = np.zeros_like(times)
+                return list(zip(users.tolist(), items.tolist(),
+                                times.tolist()))
         with open(path_or_rows) as f:
             for line in f:
                 parts = line.strip().split("\t")
@@ -81,12 +96,21 @@ class EdgeDataset:
         return self.num_users + self.num_items
 
     def sample_negatives(self, users: np.ndarray, rng: np.random.Generator,
-                         n: int = 1, max_rounds: int = 100) -> np.ndarray:
+                         n: int = 1, max_rounds: int = 100,
+                         use_native: bool = True) -> np.ndarray:
         """Rejection-sample ``n`` negatives per user, vectorized.
 
         Semantics match ``negative_sampling`` (``dataloader.py:142-152``):
-        negatives must not be in the user's *train* interactions.
+        negatives must not be in the user's *train* interactions. Uses the
+        C++ sampler when available.
         """
+        if use_native:
+            from ragraph_tpu.utils.native import negative_sample_native
+            out = negative_sample_native(
+                users, self._hist_keys, self.num_items,
+                seed=int(rng.integers(0, 2**63 - 1)), n_negs=n)
+            if out is not None:
+                return out
         out = rng.integers(0, self.num_items, size=(len(users), n))
         keys = users[:, None] * self.num_items + out
         for _ in range(max_rounds):
