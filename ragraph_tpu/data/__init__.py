@@ -13,3 +13,6 @@ from ragraph_tpu.data.planetoid import (  # noqa: F401
     load_planetoid, row_normalize_features, adj_to_bias, micro_f1,
     sample_mask,
 )
+from ragraph_tpu.data.fewshot_export import (  # noqa: F401
+    sample_k_shot_nodes, export_fewshot_splits, load_fewshot_split,
+)

@@ -14,6 +14,7 @@ from ragraph_tpu.models.edge.plugins import (  # noqa: F401
 )
 from ragraph_tpu.models.edge.dynamic import (  # noqa: F401
     Roland, EvolveGCNH, EvolveGCNO, gru_cell, gru_cell_init, ema_merge,
+    make_dynamic,
 )
 from ragraph_tpu.models.edge.graphprompt import (  # noqa: F401
     GraphPromptEdge, make_prompted,

@@ -57,6 +57,57 @@ def ema_merge(current: dict, meta: dict, meta_weight: float = 0.9) -> dict:
                         current, meta)
 
 
+def make_dynamic(plugin_cls, mode: str):
+    """Cross a plugin loss with a dynamic embedding evolution
+    (``modules/dynamicGNN/plugin_dynamic/{SGL,SimGCL,MixGCF}_dynamic.py``).
+
+    ``mode``: ``"roland"`` (per-layer GRU vs meta-model layers),
+    ``"evolvegcn_h"`` (GRU vs previous-step embeddings),
+    ``"evolvegcn_o"`` (GRUCell self-evolution). The crosses run the plain
+    (non-temporal) propagation like the reference's ``BaseModel_1``.
+    """
+    assert mode in ("roland", "evolvegcn_h", "evolvegcn_o")
+
+    class Crossed(plugin_cls):
+        use_time = False  # BaseModel_1 has no time encoding
+
+        def __init__(self, cfg, graph, phase: str = "finetune"):
+            super().__init__(cfg, graph, phase)
+            self.meta_layers = None
+            self.last_emb = None
+
+        def init_params(self, key, pretrained_tables=None):
+            params = super().init_params(key, pretrained_tables)
+            params["gru"] = gru_cell_init(jax.random.fold_in(key, 37),
+                                          self.cfg.emb_size)
+            return params
+
+        def set_meta_layers(self, meta_layers):
+            self.meta_layers = [jax.lax.stop_gradient(m)
+                                for m in meta_layers]
+
+        def set_last_emb(self, last_emb):
+            self.last_emb = jax.lax.stop_gradient(last_emb)
+
+        def _evolve(self, params, all_emb):
+            if mode == "evolvegcn_o":
+                return gru_cell(params["gru"], all_emb, all_emb)
+            if mode == "evolvegcn_h":
+                assert self.last_emb is not None, "set_last_emb first"
+                return gru_cell(params["gru"], all_emb, self.last_emb)
+            return all_emb
+
+        def _layer_fuse(self, params, h, layer_idx):
+            if mode == "roland":
+                assert self.meta_layers is not None, "set_meta_layers first"
+                return gru_cell(params["gru"], h,
+                                self.meta_layers[layer_idx + 1])
+            return h
+
+    Crossed.__name__ = f"{plugin_cls.__name__}_{mode}"
+    return Crossed
+
+
 class DynamicBase(TemporalLightGCN):
     """Plain LightGCN engine (no time, no gate) for the dynamic models."""
 

@@ -56,6 +56,15 @@ class PluginBase(TemporalLightGCN):
         params.pop("item_lora", None)
         return params
 
+    # Hooks for the dynamic-GNN crosses (plugin_dynamic/*_dynamic.py):
+    # _evolve runs once on the gated table (EvolveGCN-H/-O);
+    # _layer_fuse runs on each propagated layer (ROLAND GRU fusion).
+    def _evolve(self, params, all_emb):
+        return all_emb
+
+    def _layer_fuse(self, params, h, layer_idx):
+        return h
+
     def _propagated(self, params, key, training, edge_mask,
                     return_layers=False, perturb_key=None):
         g, cfg = self.graph, self.cfg
@@ -69,10 +78,17 @@ class PluginBase(TemporalLightGCN):
         u, it = self._effective_tables(params, key, training)
         all_emb = jnp.concatenate([u, it], axis=0)
         all_emb = self._gate(params, all_emb, key, training)
+        all_emb = self._evolve(params, all_emb)
 
         if perturb_key is None:
-            layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
-                                        weights, g.num_nodes, cfg.num_layers)
+            layers = [all_emb]
+            h = all_emb
+            for l in range(cfg.num_layers):
+                msgs = h[g.senders] * weights[:, None]
+                h = jax.ops.segment_sum(msgs, g.receivers,
+                                        num_segments=g.num_nodes)
+                h = self._layer_fuse(params, h, l)
+                layers.append(h)
         else:
             # SimGCL per-layer perturbation (SimGCL.py:55-57)
             layers = [all_emb]
@@ -81,6 +97,7 @@ class PluginBase(TemporalLightGCN):
                 msgs = h[g.senders] * weights[:, None]
                 h = jax.ops.segment_sum(msgs, g.receivers,
                                         num_segments=g.num_nodes)
+                h = self._layer_fuse(params, h, l)
                 noise = jax.random.uniform(
                     jax.random.fold_in(perturb_key, l), h.shape)
                 noise = noise / jnp.maximum(

@@ -1,5 +1,6 @@
 from ragraph_tpu.nn.layers import (  # noqa: F401
-    DenseGCN, DenseGAT, PReLU, BilinearDiscriminator, avg_readout,
+    DenseGCN, DenseGAT, PReLU, BilinearDiscriminator, BilinearDiscriminator2,
+    avg_readout,
 )
 from ragraph_tpu.nn.stack import GCNStack, MaskedBatchNorm  # noqa: F401
 from ragraph_tpu.nn.heads import (  # noqa: F401

@@ -100,6 +100,30 @@ class BilinearDiscriminator(fnn.Module):
         return jnp.concatenate([sc_1, sc_2], axis=0)
 
 
+class BilinearDiscriminator2(fnn.Module):
+    """Bilinear scorer with a *per-row* context ``c``.
+
+    Variant of :class:`BilinearDiscriminator` where ``c`` is ``(N, H)``
+    (one context per node) instead of a shared summary
+    (``RAGraph_node/layers/discriminator2.py:18-32``).
+    """
+
+    features: int
+
+    @fnn.compact
+    def __call__(self, c, h_pl, h_mi, s_bias1=None, s_bias2=None):
+        w = self.param("bilinear_w", xavier_uniform,
+                       (self.features, self.features))
+        b = self.param("bilinear_b", fnn.initializers.zeros, ())
+        sc_1 = jnp.sum((h_pl @ w) * c, axis=-1) + b
+        sc_2 = jnp.sum((h_mi @ w) * c, axis=-1) + b
+        if s_bias1 is not None:
+            sc_1 = sc_1 + s_bias1
+        if s_bias2 is not None:
+            sc_2 = sc_2 + s_bias2
+        return jnp.concatenate([sc_1, sc_2], axis=0)
+
+
 class DenseGAT(fnn.Module):
     """Dense multi-head GAT over a padded adjacency.
 

@@ -192,3 +192,24 @@ class TestLoggingProfiling:
         assert not bool(tree_all_finite(bad))
         with pytest.raises(ValueError):
             assert_all_finite(bad)
+
+
+class TestFewshotExport:
+    def test_sample_and_export_roundtrip(self, tmp_path):
+        from ragraph_tpu.data.fewshot_export import (export_fewshot_splits,
+                                                     load_fewshot_split,
+                                                     sample_k_shot_nodes)
+        from ragraph_tpu.data.synthetic import synthetic_tu_dataset
+        ds = synthetic_tu_dataset(seed=5, num_graphs=20, num_classes=3,
+                                  feat_dim=8)
+        rng = np.random.default_rng(0)
+        feats, labels, adj = sample_k_shot_nodes(ds, shots=5,
+                                                 num_classes=3, rng=rng)
+        assert feats.shape == (15, 8)
+        assert sorted(np.bincount(labels, minlength=3).tolist()) == [5, 5, 5]
+        np.testing.assert_allclose(adj, adj.T)
+
+        paths = export_fewshot_splits(ds, str(tmp_path / "fs"), shots=3,
+                                      num_tasks=2)
+        f2, l2, a2 = load_fewshot_split(paths[0])
+        assert f2.shape[0] == l2.shape[0] == a2.shape[0]

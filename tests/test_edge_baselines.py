@@ -184,3 +184,50 @@ class TestGraphPrompt:
         assert "prompt_vec" in params
         loss, _ = m.cal_loss(params, batch, jr.key(1))
         assert np.isfinite(float(loss))
+
+
+class TestDynamicCrosses:
+    @pytest.mark.parametrize("mode", ["roland", "evolvegcn_h", "evolvegcn_o"])
+    def test_sgl_cross(self, setup, mode):
+        from ragraph_tpu.models.edge import make_dynamic
+        ds, g, cfg, batch = setup
+        cls = make_dynamic(SGLPlugin, mode)
+        m = cls(cfg, g, phase="pretrain")
+        assert m.use_time is False
+        params = m.init_params(jr.key(0))
+        assert "gru" in params
+        if mode == "roland":
+            # meta layers from a plain plugin forward of the same params
+            base = SGLPlugin(cfg, g, phase="pretrain")
+            layers = base._propagated(params, None, False, None,
+                                      return_layers=True)
+            m.set_meta_layers(layers)
+        elif mode == "evolvegcn_h":
+            m.set_last_emb(jnp.zeros((g.num_nodes, cfg.emb_size)))
+        loss, aux = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+        assert "cl_loss" in aux
+
+    def test_simgcl_cross_evolve_o(self, setup):
+        from ragraph_tpu.models.edge import make_dynamic
+        ds, g, cfg, batch = setup
+        cls = make_dynamic(SimGCLPlugin, "evolvegcn_o")
+        m = cls(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        loss, aux = m.cal_loss(params, batch, jr.key(1))
+        assert np.isfinite(float(loss))
+
+
+def test_bilinear_discriminator2():
+    from ragraph_tpu.nn import BilinearDiscriminator2
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    hp = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    hm = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    model = BilinearDiscriminator2(8)
+    params = model.init(jr.key(0), c, hp, hm)
+    out = model.apply(params, c, hp, hm)
+    assert out.shape == (10,)
+    w = params["params"]["bilinear_w"]
+    ref = np.sum((np.asarray(hp) @ np.asarray(w)) * np.asarray(c), -1)
+    np.testing.assert_allclose(np.asarray(out[:5]), ref, atol=1e-5)
