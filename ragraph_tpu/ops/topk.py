@@ -48,7 +48,7 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
       method: ``"exact"`` (full sort), ``"approx"`` (TPU PartialReduce via
         ``lax.approx_max_k`` — on a v5e this is ~400x faster than the sort
         at R=262k and lets XLA avoid materializing the f32 score matrix),
-        ``"pallas"`` (fused blocked kernel: exact results ~80x faster than
+        ``"pallas"`` (fused blocked kernel: exact results ~105x faster than
         the sort, see :mod:`ragraph_tpu.ops.pallas_retrieval`), or
         ``"auto"`` (approx above :data:`AUTO_APPROX_THRESHOLD` rows).
 
