@@ -1,0 +1,122 @@
+"""10M-vector retrieval: brute-force blocked matmul vs IVF coarse index.
+
+North-star benchmark (BASELINE.md): at R=10M, E=128, compare the
+brute-force TPU path (bf16 matmul + approx_max_k) against the IVF index
+at equal recall@10. Everything (including key generation) stays on
+device — the tunnel is too slow for multi-GB host transfers.
+
+Usage: python benchmarks/bench_10m_index.py
+"""
+
+import time
+
+import numpy as np
+
+R, E, Q, K = 10_000_000, 128, 256, 10
+CLUSTERS, CAP, NPROBE = 8192, 2560, 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ragraph_tpu.ops.similarity import l2_normalize
+    from ragraph_tpu.rag.ivf import build_ivf, ivf_search
+
+    # clustered keys generated on device (cluster structure is what makes
+    # IVF meaningful; pure-random keys have no recallable structure)
+    n_gen_clusters = 1024
+
+    @jax.jit
+    def gen_keys(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        centers = jax.random.normal(k1, (n_gen_clusters, E)) * 2.0
+        assign = jax.random.randint(k2, (R,), 0, n_gen_clusters)
+        noise = jax.random.normal(k3, (R, E))
+        return (centers[assign] + noise).astype(jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    keys = gen_keys(jax.random.key(0))
+    jax.block_until_ready(keys)
+    print(f"generated {R:,} x {E} keys on device "
+          f"({keys.nbytes/2**30:.2f} GiB) in {time.perf_counter()-t0:.1f}s")
+
+    queries = jax.random.normal(jax.random.key(1), (Q, E)).astype(jnp.float32)
+
+    # ---- brute force: bf16 matmul + approx_max_k ----
+    @jax.jit
+    def norm_bf16(kk):
+        # normalize in chunks to avoid a full f32 copy
+        def one(c):
+            return l2_normalize(c.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jax.lax.map(one, kk.reshape(100, -1, E)).reshape(R, E)
+    keys_n = norm_bf16(keys)
+    jax.block_until_ready(keys_n)
+    del keys
+
+    @jax.jit
+    def brute(q, kn):
+        qn = l2_normalize(q).astype(jnp.bfloat16)
+        scores = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32)
+        return jax.lax.approx_max_k(scores, K, recall_target=0.99)
+
+    s, brute_ids = brute(queries, keys_n)
+    jax.block_until_ready((s, brute_ids))
+    iters = 10
+
+    @jax.jit
+    def brute_chain(q, kn):
+        def body(_, carry):
+            qq, acc = carry
+            sv, _ = brute(qq, kn)
+            return qq + 1e-6 * sv[:, :1], acc + sv[0, 0]
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(brute_chain(queries, keys_n))
+    t0 = time.perf_counter()
+    float(brute_chain(queries, keys_n))
+    brute_dt = (time.perf_counter() - t0) / iters
+    print(f"brute force: {brute_dt*1e3:.1f} ms / {Q} queries "
+          f"({Q/brute_dt:,.0f} q/s)")
+
+    # ---- IVF ----
+    t0 = time.perf_counter()
+    idx = build_ivf(keys_n, jax.random.key(2), num_clusters=CLUSTERS,
+                    capacity=CAP, iters=5, normalized=True)
+    jax.block_until_ready(idx.keys)
+    build_dt = time.perf_counter() - t0
+    dropped = int(idx.dropped)
+    print(f"IVF build: {build_dt:.1f}s ({CLUSTERS} clusters, cap {CAP}, "
+          f"dropped {dropped:,} rows = {dropped/R:.3%})")
+
+    s2, ivf_ids = ivf_search(idx, queries, k=K, nprobe=NPROBE)
+    jax.block_until_ready((s2, ivf_ids))
+
+    @jax.jit
+    def ivf_chain(index, q):
+        # index passed as an ARGUMENT: closing over it would bake 5+ GB
+        # of constants into the executable (and the compile request)
+        def body(_, carry):
+            qq, acc = carry
+            sv, _ = ivf_search(index, qq, k=K, nprobe=NPROBE)
+            return qq + 1e-6 * sv[:, :1], acc + sv[0, 0]
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(ivf_chain(idx, queries))
+    t0 = time.perf_counter()
+    float(ivf_chain(idx, queries))
+    ivf_dt = (time.perf_counter() - t0) / iters
+    print(f"IVF search (nprobe={NPROBE}): {ivf_dt*1e3:.1f} ms / {Q} "
+          f"queries ({Q/ivf_dt:,.0f} q/s)")
+
+    # recall of IVF vs brute force, on device
+    @jax.jit
+    def recall(a, b):
+        return (a[:, :, None] == b[:, None, :]).any(-1).mean()
+
+    rec = float(recall(ivf_ids, brute_ids))
+    print(f"IVF recall@{K} vs brute force: {rec:.4f}")
+    print(f"speedup at that recall: {brute_dt/ivf_dt:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

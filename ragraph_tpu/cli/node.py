@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--noise", action="store_true",
                    help="adversarial noise-retrieval fine-tuning")
     p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--pretrain-loss", default="lp",
+                   choices=["lp", "dgi", "graphcl", "lp+dgi", "lp+graphcl"],
+                   help="pretraining objective(s); the reference's live "
+                        "loss is lp (RAGraph_node/preprompt.py:50-55)")
     p.add_argument("--encoder-layers", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--pretrain-epochs", type=int, default=30)
@@ -75,15 +79,40 @@ def run_pretrain(args):
     params = model.init({"params": jr.key(args.seed),
                          "dropout": jr.key(args.seed + 1)},
                         g0.features, g0.adj,
-                        jnp.zeros((pad, 3), jnp.int32), g0.node_mask)
+                        jnp.zeros((pad, 3), jnp.int32), g0.node_mask,
+                        method=model.init_all)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
+    from ragraph_tpu.models.preprompt import corrupt_features
+    from ragraph_tpu.rag import aug_random_edge
+    terms = args.pretrain_loss.split("+")
+
     @jax.jit
     def step(params, opt_state, feats, adj, tuples, mask, key):
-        loss, grads = jax.value_and_grad(
-            lambda p: model.apply(p, feats, adj, tuples, mask,
-                                  rngs={"dropout": key}))(params)
+        k_drop, k_shuf, k_a1, k_a2 = jax.random.split(key, 4)
+
+        def loss_fn(p):
+            total = 0.0
+            if "lp" in terms:
+                total += model.apply(p, feats, adj, tuples, mask,
+                                     rngs={"dropout": k_drop})
+            if "dgi" in terms or "graphcl" in terms:
+                shuf = corrupt_features(k_shuf, feats, mask)
+            if "dgi" in terms:
+                total += model.apply(p, feats, shuf, adj, mask,
+                                     method=model.dgi_loss)
+            if "graphcl" in terms:
+                from ragraph_tpu.core.graph import normalize_adj_dense
+                a1 = normalize_adj_dense(
+                    aug_random_edge(k_a1, adj, 0.2, mask), mask)
+                a2 = normalize_adj_dense(
+                    aug_random_edge(k_a2, adj, 0.2, mask), mask)
+                total += model.apply(p, feats, shuf, adj, a1, a2, mask,
+                                     method=model.graphcl_loss)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -7,7 +7,7 @@ from ragraph_tpu.models.edge.ragraph_edge import (  # noqa: F401
     EdgeGraphArrays, edge_config_for, EDGE_DATASET_CONFIGS,
 )
 from ragraph_tpu.models.edge.staged import (  # noqa: F401
-    staged_finetune, interpolative_merge, StageResult,
+    staged_finetune, staged_dynamic, interpolative_merge, StageResult,
 )
 from ragraph_tpu.models.edge.plugins import (  # noqa: F401
     PluginBase, SGLPlugin, SimGCLPlugin, MixGCFPlugin, LightGCNPlugin,

@@ -70,6 +70,96 @@ class StageResult:
         return float(np.mean(self.ndcgs))
 
 
+def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
+                   pretrain_tables: dict, cfg_factory: Callable,
+                   key: jax.Array, model_cls, *, mode: str = "roland",
+                   hour_interval: float = 1.0,
+                   num_epochs: int | None = None,
+                   meta_weight: float = 0.9,
+                   logger: Callable = print) -> "StageResult":
+    """Staged training for the dynamic-GNN baselines.
+
+    Parity with the reference's dynamic driver pattern
+    (``modules/dynamicGNN/roland.py:46-77``, ``trainer_roland.py``): at
+    each temporal stage the model is (re)built on the stage graph,
+    initialized from the previous stage's embeddings; ROLAND additionally
+    fuses against the *meta model*'s layerwise embeddings and EMA-merges
+    the meta state after the stage (``new = 0.1·current + 0.9·meta``).
+    """
+    from ragraph_tpu.models.edge.dynamic import ema_merge
+
+    base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
+                                hour_interval=hour_interval)
+    num_users, num_items = base_ds.num_users, base_ds.num_items
+
+    all_rows = [pretrain_rows, finetune_rows, *stage_rows]
+    recalls, ndcgs = [], []
+    tables = dict(pretrain_tables)
+    meta_params = None
+    last_emb = None
+
+    for stage in range(1, len(stage_rows) + 1):
+        k_stage = jax.random.fold_in(key, stage)
+        ft_idx = stage
+        ft_dataset = load_edge_dataset(
+            all_rows[ft_idx], stage_rows[stage - 1],
+            hour_interval=hour_interval, num_users=num_users,
+            num_items=num_items, phase="finetune",
+            user_hist=all_rows[:ft_idx])
+
+        model = model_cls(cfg_factory("finetune"),
+                          EdgeGraphArrays.from_dataset(ft_dataset),
+                          phase="finetune")
+        params = model.init_params(
+            jax.random.fold_in(k_stage, 1),
+            pretrained_tables=(jnp.asarray(tables["user_embedding"]),
+                               jnp.asarray(tables["item_embedding"])))
+        if meta_params is not None:
+            # carry GRU weights + EMA-merged tables across stages
+            params = {**params,
+                      **{k: meta_params[k] for k in meta_params
+                         if k in params and k != "gru"},
+                      "gru": meta_params["gru"]}
+
+        if mode == "roland":
+            if hasattr(model, "forward_lgn"):
+                meta_layers = model.forward_lgn(params, return_layers=True)
+            else:  # plugin crosses: plain propagated layers
+                meta_layers = model._propagated(params, None, False, None,
+                                                return_layers=True)
+            model.set_meta_layers(meta_layers)
+        elif mode == "evolvegcn_h":
+            if last_emb is None:
+                last_emb = jnp.concatenate(
+                    [jnp.asarray(tables["user_embedding"]),
+                     jnp.asarray(tables["item_embedding"])], axis=0)
+            model.set_last_emb(last_emb)
+
+        logger(f"--- dynamic stage {stage} ({mode})")
+        trainer = EdgeTrainer(model, ft_dataset, logger=logger)
+        result = trainer.train(params, jax.random.fold_in(k_stage, 2),
+                               num_epochs=num_epochs,
+                               rng=np.random.default_rng(stage))
+        recalls.append(float(result.best_perform["recall"][0]))
+        ndcgs.append(float(result.best_perform["ndcg"][0]))
+
+        best = result.best_params
+        tables = {"user_embedding": np.asarray(best["user_embedding"]),
+                  "item_embedding": np.asarray(best["item_embedding"])}
+        if mode == "roland":
+            meta_params = (best if meta_params is None
+                           else ema_merge(best, meta_params,
+                                          meta_weight=meta_weight))
+        else:
+            meta_params = best
+        u_emb, i_emb = model.generate(best)
+        last_emb = jnp.concatenate([u_emb, i_emb], axis=0)
+        logger(f"stage {stage}: recall={recalls[-1]:.4f} "
+               f"ndcg={ndcgs[-1]:.4f}")
+
+    return StageResult(recalls=recalls, ndcgs=ndcgs)
+
+
 def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
                     pretrain_tables: dict, cfg_factory: Callable,
                     key: jax.Array, *, hour_interval: float = 1.0,

@@ -39,6 +39,36 @@ def subgraph3_mean(h: jax.Array, adj: jax.Array,
     return jnp.dot(reach, h) / jnp.maximum(cnt, 1.0)
 
 
+def _masked_bce(logits: jax.Array, node_mask: jax.Array | None):
+    """BCE-with-logits over [positives ∥ negatives] discriminator output
+    (labels 1 for the first half, 0 for the second), padding-masked."""
+    n = logits.shape[0] // 2
+    labels = jnp.concatenate([jnp.ones((n,)), jnp.zeros((n,))])
+    per = jnp.maximum(logits, 0) - logits * labels \
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if node_mask is None:
+        return per.mean()
+    m = jnp.concatenate([node_mask, node_mask]).astype(per.dtype)
+    return jnp.sum(per * m) / jnp.maximum(m.sum(), 1.0)
+
+
+def corrupt_features(key: jax.Array, features: jax.Array,
+                     node_mask: jax.Array | None = None) -> jax.Array:
+    """DGI corruption: shuffle node feature rows.
+
+    With a mask (real rows packed first, padding after — the layout of
+    :func:`dense_batch_from_graphs`): sorting random Gumbel scores with
+    padding forced last maps every real position to a uniformly random
+    real row and every padded position to a padded row.
+    """
+    n = features.shape[0]
+    if node_mask is None:
+        return features[jax.random.permutation(key, n)]
+    g = jax.random.gumbel(key, (n,))
+    idx = jnp.argsort(jnp.where(node_mask, g, jnp.inf))
+    return features[idx]
+
+
 class PrePrompt(fnn.Module):
     """GCN encoder + pretraining heads (Lp live; DGI/GraphCL optional)."""
 
@@ -77,6 +107,34 @@ class PrePrompt(fnn.Module):
         h_a1 = self.gcn(features, aug_adj1, node_mask)
         h_a2 = self.gcn(features, aug_adj2, node_mask)
         return self.graphcl_edge(h_0, h_2, h_a1, h_a2, node_mask)
+
+    def init_all(self, features, adj, tuples, node_mask=None):
+        """Touch every head so all parameters materialize at init (flax
+        only creates params for called submodules; the reference keeps
+        DGI/GraphCL/Lp in the state_dict even though only Lp is live)."""
+        loss = self(features, adj, tuples, node_mask, deterministic=True)
+        _ = self.dgi_loss_logits(features, features, adj, node_mask)
+        _ = self.graphcl_loss_logits(features, features, adj, adj, adj,
+                                     node_mask)
+        return loss
+
+    def dgi_loss(self, features, shuf_features, adj, node_mask=None):
+        """Masked BCE DGI loss over clean-vs-corrupted logits.
+
+        The reference constructs this head (``preprompt.py:32,39``) with
+        ``BCEWithLogitsLoss`` but leaves it out of the live loss; here it
+        is a first-class optional pretraining objective.
+        """
+        logits = self.dgi_loss_logits(features, shuf_features, adj,
+                                      node_mask)
+        return _masked_bce(logits, node_mask)
+
+    def graphcl_loss(self, features, shuf_features, adj, aug_adj1, aug_adj2,
+                     node_mask=None):
+        """Masked BCE GraphCL (edge-augmentation) loss."""
+        logits = self.graphcl_loss_logits(features, shuf_features, adj,
+                                          aug_adj1, aug_adj2, node_mask)
+        return _masked_bce(logits, node_mask)
 
     def inference(self, features, adj, node_mask=None):
         """Frozen node embeddings (``preprompt.py:64-66``)."""

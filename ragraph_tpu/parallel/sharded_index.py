@@ -28,7 +28,8 @@ from ragraph_tpu.ops.similarity import l2_normalize
 
 def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
                         k: int, valid_mask: jax.Array | None = None,
-                        axis_name: str = "idx"):
+                        axis_name: str = "idx", local_method: str = "auto",
+                        recall_target: float = 0.99):
     """Exact distributed cosine top-k.
 
     Args:
@@ -48,7 +49,16 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
                          preferred_element_type=jnp.float32)
         scores = jnp.where(vm[None, :], scores, -jnp.inf)
         k_local = min(k, rows_local)
-        s_loc, i_loc = jax.lax.top_k(scores, k_local)
+        method = local_method
+        if method == "auto":
+            from ragraph_tpu.ops.topk import AUTO_APPROX_THRESHOLD
+            method = ("approx" if rows_local >= AUTO_APPROX_THRESHOLD
+                      else "exact")
+        if method == "approx":
+            s_loc, i_loc = jax.lax.approx_max_k(
+                scores, k_local, recall_target=recall_target)
+        else:
+            s_loc, i_loc = jax.lax.top_k(scores, k_local)
         offset = jax.lax.axis_index(axis_name) * rows_local
         i_loc = i_loc + offset
         # gather k·D candidates per query over ICI

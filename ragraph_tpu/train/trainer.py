@@ -118,3 +118,18 @@ class EdgeTrainer:
 
         return TrainResult(best_perform=best, best_params=best_params,
                            epochs_run=epochs_run, history=history)
+
+    def evaluate_grouped(self, params):
+        """Tuned/untuned user breakdown of a model
+        (``RAGraph_edge/utils/metrics.py:143-209``)."""
+        user_emb, item_emb = self.model.generate(params)
+        out = {}
+        for group in ("tuned", "untuned"):
+            out[group] = self.evaluator.evaluate_grouped(
+                user_emb, item_emb, self.dataset.test_user_dict,
+                self.dataset.train_user_dict, self.dataset.user_hist_dict,
+                group=group)
+            self.log(f"[{group}] " + " ".join(
+                f"{m}@{k}={v[i]:.4f}" for m, v in out[group].items()
+                for i, k in enumerate(self.cfg.metrics_k)))
+        return out

@@ -231,3 +231,27 @@ def test_bilinear_discriminator2():
     w = params["params"]["bilinear_w"]
     ref = np.sum((np.asarray(hp) @ np.asarray(w)) * np.asarray(c), -1)
     np.testing.assert_allclose(np.asarray(out[:5]), ref, atol=1e-5)
+
+
+def test_staged_dynamic_roland():
+    from ragraph_tpu.data.synthetic import synthetic_edge_stream
+    from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                         GraphPro, Roland, staged_dynamic)
+    from ragraph_tpu.data.edgelist import load_edge_dataset
+    from ragraph_tpu.train import EdgeTrainer
+    train, stages = synthetic_edge_stream(seed=4, num_users=24, num_items=48,
+                                          num_stages=2,
+                                          interactions_per_user=6)
+    cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=32,
+                          edge_dropout=0.2, early_stop_patience=3)
+    ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+    pre = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds), phase="pretrain")
+    pre_params = pre.init_params(jr.key(0))
+    tables = {"user_embedding": np.asarray(pre_params["user_embedding"]),
+              "item_embedding": np.asarray(pre_params["item_embedding"])}
+    res = staged_dynamic(train, stages[0], [stages[0], stages[1]], tables,
+                         cfg_factory=lambda phase: cfg, key=jr.key(1),
+                         model_cls=Roland, mode="roland", num_epochs=2,
+                         logger=lambda *_: None)
+    assert len(res.recalls) == 2
+    assert all(np.isfinite(res.recalls))

@@ -237,3 +237,18 @@ class TestTrainerAndStaged:
         assert len(res.recalls) == 2
         assert all(np.isfinite(res.recalls))
         assert res.avg_recall > 0.05
+
+
+def test_grouped_eval(stream):
+    from ragraph_tpu.models.edge import GraphPro
+    from ragraph_tpu.train import EdgeTrainer
+    import jax.random as jr
+    train, stages = stream
+    ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+    g = EdgeGraphArrays.from_dataset(ds)
+    model = GraphPro(_small_cfg(), g, phase="pretrain")
+    params = model.init_params(jr.key(0))
+    trainer = EdgeTrainer(model, ds, logger=lambda *_: None)
+    out = trainer.evaluate_grouped(params)
+    assert "tuned" in out and "untuned" in out
+    assert np.isfinite(out["tuned"]["recall"]).all()

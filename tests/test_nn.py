@@ -208,3 +208,39 @@ def test_preprompt_loss_runs_and_is_finite():
     # inference path: deterministic embeddings
     h = model.apply(params, x, adj, method=model.inference)
     assert h.shape == (n, 8)
+
+
+class TestOptionalPretrainLosses:
+    def test_dgi_and_graphcl_losses(self):
+        from ragraph_tpu.models.preprompt import corrupt_features
+        rng = np.random.default_rng(12)
+        n, f = 12, 6
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        raw = random_adj(rng, n)
+        adj = jnp.asarray(raw + np.eye(n, dtype=np.float32))
+        mask = jnp.asarray([True] * 10 + [False] * 2)
+        model = PrePrompt(hidden=8, num_layers=1)
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            x, adj, jnp.zeros((n, 3), jnp.int32),
+                            method=model.init_all)
+        shuf = corrupt_features(jax.random.key(2), x, mask)
+        # corruption keeps padded rows padded and permutes real rows
+        assert np.allclose(np.asarray(shuf)[10:], np.asarray(x)[10:])
+        assert not np.allclose(np.asarray(shuf)[:10], np.asarray(x)[:10])
+        assert sorted(np.asarray(shuf)[:10, 0].tolist()) == \
+            sorted(np.asarray(x)[:10, 0].tolist())
+
+        dgi = model.apply(params, x, shuf, adj, mask,
+                          method=model.dgi_loss)
+        assert np.isfinite(float(dgi))
+        a1 = jnp.asarray(random_adj(rng, n))
+        a2 = jnp.asarray(random_adj(rng, n))
+        gcl = model.apply(params, x, shuf, adj, a1, a2, mask,
+                          method=model.graphcl_loss)
+        assert np.isfinite(float(gcl))
+        # gradients flow into the discriminator prompt params
+        g = jax.grad(lambda p: model.apply(p, x, shuf, adj, mask,
+                                           method=model.dgi_loss))(params)
+        pnorm = float(jnp.abs(g["params"]["dgi"]["prompt"]).sum())
+        assert pnorm > 0
