@@ -5,6 +5,18 @@ brute-force TPU path (bf16 matmul + approx_max_k) against the IVF index
 at equal recall@10. Everything (including key generation) stays on
 device — the tunnel is too slow for multi-GB host transfers.
 
+Measured (v5e single chip, R=10M, E=128, Q=256, k=10):
+  brute force:  6.9 ms/batch (37k q/s), recall_target 0.99
+  IVF (P=8192, cap=2560, nprobe=16): build 48 s, search 44.9 ms/batch,
+  recall@10 vs brute = 0.827
+
+CONCLUSION: on TPU the brute-force blocked matmul BEATS IVF-style coarse
+indexing at this scale — dense MXU FLOPs outrun the random-access bucket
+gathers (the (Q, nprobe, cap, E) gather is ~13x off HBM bandwidth as an
+XLA gather). Brute force + approx_max_k is the production default; IVF
+(or the ICI-sharded index in parallel/) becomes relevant only when keys
+exceed single-chip HBM.
+
 Usage: python benchmarks/bench_10m_index.py
 """
 

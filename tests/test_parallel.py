@@ -101,3 +101,57 @@ class TestDPTraining:
 
         np.testing.assert_allclose(float(loss2), float(loss1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-5)
+
+
+class TestShardedEdgeTraining:
+    def test_edge_step_with_sharded_tables(self, mesh24):
+        """Edge training with embedding tables row-sharded over 'idx' and
+        the batch over 'dp' — the model-parallel layout for 100M+ user
+        tables. Must match the single-device step."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ragraph_tpu.data.edgelist import load_edge_dataset
+        from ragraph_tpu.data.synthetic import synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+
+        train, stages = synthetic_edge_stream(seed=5, num_users=32,
+                                              num_items=64, num_stages=1,
+                                              interactions_per_user=6)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+        g = EdgeGraphArrays.from_dataset(ds)
+        cfg = EdgeModelConfig(emb_size=16, num_layers=2, edge_dropout=0.0)
+        model = GraphPro(cfg, g, phase="pretrain")
+        params = model.init_params(jax.random.key(0))
+        batch = (jnp.arange(16, dtype=jnp.int32),
+                 jnp.arange(16, dtype=jnp.int32),
+                 jnp.arange(16, 32, dtype=jnp.int32))
+        opt = optax.sgd(0.1)
+
+        def step(params, opt_state, batch, key):
+            (loss, _), grads = jax.value_and_grad(
+                lambda p: model.cal_loss(p, batch, key), has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.key(1)
+        # single device
+        p1, _, loss1 = jax.jit(step)(params, opt.init(params), batch, key)
+
+        # sharded: tables over idx rows, batch over dp
+        rows = NamedSharding(mesh24, P("idx"))
+        repl = NamedSharding(mesh24, P())
+        bsh = NamedSharding(mesh24, P("dp"))
+        params_sh = {
+            "user_embedding": jax.device_put(params["user_embedding"], rows),
+            "item_embedding": jax.device_put(params["item_embedding"], rows),
+        }
+        batch_sh = tuple(jax.device_put(b, bsh) for b in batch)
+        p2, _, loss2 = jax.jit(step, out_shardings=(
+            {"user_embedding": rows, "item_embedding": rows}, repl, repl))(
+            params_sh, opt.init(params_sh), batch_sh, key)
+
+        np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p2["user_embedding"]),
+                                   np.asarray(p1["user_embedding"]),
+                                   atol=1e-5)
