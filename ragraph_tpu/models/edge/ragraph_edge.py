@@ -193,12 +193,31 @@ class TemporalLightGCN:
 
     def _fuse_rag(self, query_emb, res_emb, key, training: bool):
         """Cosine top-k over the resource library + 50/50-style fusion
-        (``modules/RAGraph.py:286-328``)."""
+        (``modules/RAGraph.py:286-328``).
+
+        Queries are chunked with ``lax.map`` at ``cfg.batch_size`` (the
+        reference's chunk knob, ``:291-298``) so the ``(N, R)`` score
+        matrix never materializes at full size — at amazon scale that
+        would be ~230 GB.
+        """
         cfg = self.cfg
         add_noise = cfg.use_noise and training and self.phase == "finetune"
         k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
         k = min(k, self.resource_keys.shape[0])
-        _, idx = cosine_topk(query_emb, self.resource_keys, k)
+        qn = query_emb.shape[0]
+        chunk = min(cfg.batch_size, qn)
+        if qn > chunk:
+            from ragraph_tpu.ops.similarity import l2_normalize
+            keys_n = l2_normalize(self.resource_keys)
+            pad = (-qn) % chunk
+            q_pad = jnp.pad(query_emb, ((0, pad), (0, 0)))
+            chunks = q_pad.reshape(-1, chunk, query_emb.shape[1])
+            idx = jax.lax.map(
+                lambda qc: cosine_topk(qc, keys_n, k,
+                                       keys_normalized=True)[1],
+                chunks).reshape(-1, k)[:qn]
+        else:
+            _, idx = cosine_topk(query_emb, self.resource_keys, k)
         rag = topk_gather(self.resource_values, idx)         # (N, k, E)
         if add_noise:
             nk = jax.random.fold_in(key, 7)

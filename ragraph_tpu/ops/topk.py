@@ -31,7 +31,8 @@ from ragraph_tpu.ops.similarity import l2_normalize
 AUTO_APPROX_THRESHOLD = 32_768
 
 
-@partial(jax.jit, static_argnames=("k", "method", "recall_target"))
+@partial(jax.jit, static_argnames=("k", "method", "recall_target",
+                                   "queries_normalized", "keys_normalized"))
 def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
                 valid_mask: jax.Array | None = None,
                 queries_normalized: bool = False,

@@ -79,15 +79,18 @@ class EdgeTrainer:
 
         for epoch in range(num_epochs):
             t0 = time.time()
-            ep_loss, nb = 0.0, 0
+            losses, nb = [], 0
             for users, pos, neg in self.dataset.train_batches(
                     cfg.batch_size, rng, drop_remainder=True):
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
                 params, opt_state, loss, _ = step(
                     params, opt_state, jnp.asarray(users), jnp.asarray(pos),
                     jnp.asarray(neg), k)
-                ep_loss += float(loss)
+                # device scalars collected, synced once per epoch: a
+                # per-step float() would add a host roundtrip per batch
+                losses.append(loss)
                 nb += 1
+            ep_loss = float(jnp.stack(losses).sum()) if losses else 0.0
             train_time = time.time() - t0
 
             # evaluate
