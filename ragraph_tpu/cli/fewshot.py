@@ -1,0 +1,168 @@
+"""Few-shot task CLI driver.
+
+Reference entry points replaced:
+- ``RAGraph_node_fewshot/finetune-rag.py`` → ``python -m
+  ragraph_tpu.cli.fewshot finetune``
+- ``RAGraph_node_fewshot/vanilla-rag.py`` → ``... vanilla``
+- graph-level variants via ``--level graph``.
+
+Protocol parity (``RAGraph_node_fewshot/finetune-rag.py:50-150``): per
+task i, a k-shot support split (exported via
+``ragraph_tpu.data.fewshot_export`` or sampled on the fly), class
+prototypes recomputed each step, CE over cosine-to-prototype scores,
+val-append before test, mean±std accuracy over tasks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("ragraph_tpu.fewshot")
+    p.add_argument("mode", choices=["finetune", "vanilla"])
+    p.add_argument("--dataset", default="SYNTH")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--level", choices=["node", "graph"], default="node")
+    p.add_argument("--shots", type=int, default=5)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--retrieve-num", type=int, default=5)
+    p.add_argument("--test-times", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--noise", action="store_true")
+    p.add_argument("--save-dir", default="modelset")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--library-capacity", type=int, default=65536)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.random as jr
+    import optax
+
+    from ragraph_tpu.data import (flat_batches, load_tu_dataset,
+                                  stacked_batches, synthetic_tu_dataset)
+    from ragraph_tpu.data.fewshot_export import sample_k_shot_nodes
+    from ragraph_tpu.models import (FEWSHOT_NODE_WEIGHTS,
+                                    FEWSHOT_GRAPH_WEIGHTS,
+                                    FewshotSupportSet, RAGraphFewshot,
+                                    RAGraphFewshotConfig,
+                                    fewshot_library_config)
+    from ragraph_tpu.train import RunLogger, restore_checkpoint
+    from ragraph_tpu.utils import seed_everything
+    import jax.numpy as jnp
+
+    log = RunLogger(exp_name=f"fewshot-{args.mode}")
+    seed_everything(args.seed)
+    if args.dataset == "SYNTH":
+        ds = synthetic_tu_dataset(seed=0, num_graphs=120, num_classes=3,
+                                  feat_dim=16)
+    else:
+        ds = load_tu_dataset(args.data_root, args.dataset)
+    num_class = max(ds.num_node_classes, 2)
+
+    enc_params = None
+    ckpt = os.path.join(args.save_dir, f"model_{args.dataset}")
+    try:
+        enc_params = restore_checkpoint(ckpt, use_orbax=False)
+        log(f"loaded pretrain checkpoint {ckpt}")
+    except FileNotFoundError:
+        log("no pretrain checkpoint; random 2-layer encoder init")
+
+    weights = (FEWSHOT_NODE_WEIGHTS if args.level == "node"
+               else FEWSHOT_GRAPH_WEIGHTS)
+    rw, lw = weights.get(args.dataset, (0.5, 0.5))
+    finetune = args.mode == "finetune"
+
+    accs = []
+    for task_i in range(args.test_times):
+        rng = np.random.default_rng(task_i)
+        dsi = ds.shuffle(rng)
+        train = dsi.subset(0, .5)
+        val = dsi.subset(.5, .8)
+        test = dsi.subset(.8, 1)
+        pad = args.batch_size * max(g.features.shape[0] for g in ds.graphs)
+
+        feats, labels, adj = sample_k_shot_nodes(train, args.shots,
+                                                 num_class, rng)
+        support = FewshotSupportSet(features=jnp.asarray(feats),
+                                    adj=jnp.asarray(adj),
+                                    labels=jnp.asarray(labels,
+                                                       dtype=jnp.int32))
+
+        libcfg = fewshot_library_config(retrieve_num=args.retrieve_num)
+        cfg = RAGraphFewshotConfig(
+            emb_size=args.hidden, num_class=num_class, level=args.level,
+            retrieve_weight=rw, label_weight=lw,
+            query_graph_hop=3 if args.level == "node" else 1,
+            finetune=finetune, noise_finetune=args.noise,
+            encoder_layers=2, library=libcfg)
+        task = RAGraphFewshot(cfg, feature_dim=ds.num_node_attributes)
+        state = task.init_state(jr.key(task_i), support,
+                                encoder_params=enc_params,
+                                library_capacity=args.library_capacity)
+        state = task.build_library(
+            state, stacked_batches(train.graphs, args.batch_size,
+                                   num_classes=num_class,
+                                   num_graph_classes=num_class),
+            jr.key(task_i + 100))
+
+        if finetune and args.level == "node":
+            opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
+            tstep = task.make_train_step_node(opt)
+            opt_state = opt.init(state.encoder_params)
+            batches = list(flat_batches(val.graphs, args.batch_size, pad,
+                                        num_classes=num_class))
+            for epoch in range(args.epochs):
+                tot = 0.0
+                for i, g in enumerate(batches):
+                    state, opt_state, loss = tstep(
+                        state, opt_state, g,
+                        jr.fold_in(jr.key(task_i + 200), epoch * 999 + i))
+                    tot += float(loss)
+                if epoch % 10 == 0:
+                    log.log_loss(epoch, {"loss": tot / len(batches)})
+
+        # reference protocol: append val entries before test
+        state = task.build_library(
+            state, stacked_batches(val.graphs, args.batch_size,
+                                   num_classes=num_class,
+                                   num_graph_classes=num_class),
+            jr.key(task_i + 300))
+
+        if args.level == "node":
+            acc = task.accuracy_node(
+                state, flat_batches(test.graphs, args.batch_size, pad,
+                                    num_classes=num_class))
+        else:
+            acc = task.accuracy_graph(
+                state, stacked_batches(test.graphs, args.batch_size,
+                                       num_classes=num_class,
+                                       num_graph_classes=num_class))
+        accs.append(100.0 * acc)
+        log(f"task {task_i + 1}/{args.test_times}: accuracy {accs[-1]:.4f}")
+
+    mean, std = float(np.mean(accs)), float(np.std(accs))
+    log(f"shots={args.shots} Mean: [{mean:.4f}]  Std: [{std:.4f}]")
+    os.makedirs(args.results_dir, exist_ok=True)
+    out = os.path.join(
+        args.results_dir,
+        f"fewshot_{args.mode}_{args.level}_{args.dataset}"
+        f"_shot{args.shots}.json")
+    with open(out, "w") as f:
+        json.dump({"mean": mean, "std": std, "accuracy": accs}, f, indent=4)
+    return mean
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,26 @@ def test_edge_staged_finetune(workdir):
     assert len(result.recalls) == 4
     out = json.load(open(workdir / "s" / "finetune_RAGraph_SYNTH.json"))
     assert np.isfinite(out["avg_recall"])
+
+
+def test_fewshot_vanilla(workdir):
+    from ragraph_tpu.cli import fewshot as fs_cli
+    mean = fs_cli.main(["vanilla", "--dataset", "SYNTH", "--hidden", "16",
+                        "--batch-size", "8", "--test-times", "1",
+                        "--retrieve-num", "3",
+                        "--library-capacity", "16384",
+                        "--save-dir", str(workdir / "m"),
+                        "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean)
+    assert mean > 33.0  # above chance
+
+
+def test_fewshot_finetune_node(workdir):
+    from ragraph_tpu.cli import fewshot as fs_cli
+    mean = fs_cli.main(["finetune", "--dataset", "SYNTH", "--hidden", "16",
+                        "--batch-size", "8", "--test-times", "1",
+                        "--epochs", "2", "--retrieve-num", "3",
+                        "--library-capacity", "16384",
+                        "--save-dir", str(workdir / "m"),
+                        "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean)
