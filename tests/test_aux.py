@@ -213,3 +213,23 @@ class TestFewshotExport:
                                       num_tasks=2)
         f2, l2, a2 = load_fewshot_split(paths[0])
         assert f2.shape[0] == l2.shape[0] == a2.shape[0]
+
+
+class TestExperimentConfig:
+    def test_json_roundtrip(self, tmp_path):
+        from ragraph_tpu.config import ExperimentConfig
+        from ragraph_tpu.rag.library import LibraryConfig
+        cfg = ExperimentConfig(
+            task="edge", dataset="amazon", emb_size=64,
+            library=LibraryConfig(level="graph", retrieve_num=3))
+        path = str(tmp_path / "exp.json")
+        cfg.to_json(path)
+        back = ExperimentConfig.from_json(path)
+        assert back == cfg
+        assert back.library.level == "graph"
+        assert back.edge.metrics == ("recall", "ndcg")
+
+    def test_replace(self):
+        from ragraph_tpu.config import ExperimentConfig
+        cfg = ExperimentConfig().replace(lr=5e-4)
+        assert cfg.lr == 5e-4
