@@ -37,8 +37,8 @@ from ragraph_tpu.ops.shortest_path import position_aware_codes
 from ragraph_tpu.rag.fewshot import (fewshot_mean_logits,
                                      fewshot_predict_labels,
                                      fewshot_predict_logits)
-from ragraph_tpu.rag.library import (LibraryConfig, build_entries_batch,
-                                     library_append, library_init, retrieve)
+from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                     library_init, retrieve)
 
 # RAGraph_node_fewshot/RAGraph.py:24-33 / RAGraph_graph_fewshot/RAGraph.py:15-29
 FEWSHOT_NODE_WEIGHTS = {"ENZYMES": (0.5, 0.5), "PROTEINS": (0.3, 0.8)}
@@ -139,19 +139,13 @@ class RAGraphFewshot:
 
     def build_library(self, state: RAGraphFewshotState, stacked_batches,
                       key: jax.Array) -> RAGraphFewshotState:
-        lib = state.library
         params = state.encoder_params
 
         def enc_fn(features, adj, node_mask=None):
             return self._encode(params, features, adj, node_mask)
 
-        build = jax.jit(partial(build_entries_batch, enc_fn,
-                                cfg=self.cfg.library))
-        for i, batch in enumerate(stacked_batches):
-            entries = build(batch["features"], batch["adj"], batch["labels"],
-                            batch["node_mask"], batch["graph_onehot"],
-                            key=jax.random.fold_in(key, i))
-            lib = library_append(lib, *entries)
+        lib = build_library(state.library, enc_fn, stacked_batches,
+                            self.cfg.library, key)
         return dataclasses.replace(state, library=lib)
 
     # -- forward -----------------------------------------------------------

@@ -26,8 +26,8 @@ from ragraph_tpu.models.preprompt import PrePrompt
 from ragraph_tpu.models.ragraph_node import RAGraphNodeState
 from ragraph_tpu.nn.heads import TaskDecoder
 from ragraph_tpu.ops.propagation import aggregate_k_hop_dense
-from ragraph_tpu.rag.library import (LibraryConfig, build_entries_batch,
-                                     library_append, library_init, retrieve)
+from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                     library_init, retrieve)
 
 # Per-dataset fusion weights noted at RAGraph_graph/RAGraph.py:15-24.
 GRAPH_FUSION_WEIGHTS = {
@@ -100,17 +100,9 @@ class RAGraphGraph:
 
     def build_library(self, state: RAGraphNodeState, stacked_batches,
                       key: jax.Array) -> RAGraphNodeState:
-        from functools import partial
-        lib = state.library
-        enc_fn = self.encoder_fn(state.encoder_params)
-        build = jax.jit(partial(build_entries_batch, enc_fn,
-                                cfg=self.cfg.library))
-        for i, batch in enumerate(stacked_batches):
-            k_i = jax.random.fold_in(key, i)
-            entries = build(batch["features"], batch["adj"], batch["labels"],
-                            batch["node_mask"], batch["graph_onehot"],
-                            key=k_i)
-            lib = library_append(lib, *entries)
+        lib = build_library(state.library,
+                            self.encoder_fn(state.encoder_params),
+                            stacked_batches, self.cfg.library, key)
         return dataclasses.replace(state, library=lib)
 
     def forward(self, state: RAGraphNodeState, batch: dict, *,

@@ -33,8 +33,7 @@ from ragraph_tpu.models.preprompt import PrePrompt
 from ragraph_tpu.nn.heads import TaskDecoder
 from ragraph_tpu.ops.propagation import aggregate_k_hop_dense
 from ragraph_tpu.rag.library import (LibraryConfig, ToyGraphLibrary,
-                                     build_entries_batch, library_append,
-                                     library_init, retrieve)
+                                     build_library, library_init, retrieve)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,16 +104,9 @@ class RAGraphNode:
         repeated ``build_toy_graph`` calls APPEND, they never reset —
         ``RAGraph_node/finetune-rag.py:97`` grows the train-built library
         with val entries before test)."""
-        lib = state.library
-        enc_fn = self.encoder_fn(state.encoder_params)
-        build = jax.jit(partial(build_entries_batch, enc_fn,
-                                cfg=self.cfg.library))
-        for i, batch in enumerate(stacked_batches):
-            k_i = jax.random.fold_in(key, i)
-            entries = build(batch["features"], batch["adj"], batch["labels"],
-                            batch["node_mask"], batch["graph_onehot"],
-                            key=k_i)
-            lib = library_append(lib, *entries)
+        lib = build_library(state.library,
+                            self.encoder_fn(state.encoder_params),
+                            stacked_batches, self.cfg.library, key)
         return dataclasses.replace(state, library=lib)
 
     # -- forward -----------------------------------------------------------

@@ -244,7 +244,9 @@ def build_library(lib: ToyGraphLibrary, encoder_fn: Callable, batches,
 
     Each batch dict needs ``features (B,N,F)``, ``adj (B,N,N)``,
     ``labels (B,N,C)``, ``node_mask (B,N)`` and, for graph-level libraries,
-    ``graph_onehot (B,C)``.
+    ``graph_onehot (B,C)``. Appends (never resets): repeated calls grow
+    the store, matching ``build_toy_graph``'s semantics
+    (``RAGraph_node/finetune-rag.py:97``).
     """
     build = jax.jit(partial(build_entries_batch, encoder_fn, cfg=cfg))
     for i, batch in enumerate(batches):
