@@ -96,14 +96,14 @@ def run_pretrain():
     return result
 
 
-def run_finetune():
+def run_finetune(model_name="RAGraph"):
     import jax.random as jr
 
-    from ragraph_tpu.models.edge import RAGraphEdge, staged_finetune
+    from ragraph_tpu.models.edge import GraphPro, RAGraphEdge, staged_finetune
     from ragraph_tpu.train import RunLogger, restore_checkpoint
     from ragraph_tpu.utils import seed_everything
 
-    log = RunLogger(save_dir=SAVE, exp_name="amazon-finetune")
+    log = RunLogger(save_dir=SAVE, exp_name=f"amazon-finetune-{model_name}")
     seed_everything(2023)
     pretrain_rows, val_rows, ft_rows, stage_rows = load_rows()
     tables = restore_checkpoint(CKPT, use_orbax=False)
@@ -111,18 +111,19 @@ def run_finetune():
         f"{tables['meta']['best_recall']:.5f})")
 
     t0 = time.time()
+    model_cls = {"RAGraph": RAGraphEdge, "GraphPro": GraphPro}[model_name]
     result = staged_finetune(
         pretrain_rows + val_rows, ft_rows, stage_rows, tables,
         cfg_factory=lambda phase: make_cfg(phase),
         key=jr.key(7), num_epochs=60, logger=log,
-        model_cls=RAGraphEdge)
+        model_cls=model_cls)
     log(f"staged fine-tune done in {time.time()-t0:.0f}s")
     log(f"recalls: {[round(r, 5) for r in result.recalls]}")
     log(f"ndcgs:   {[round(n, 5) for n in result.ndcgs]}")
     log(f"avg recall@20 {result.avg_recall:.5f} "
         f"avg ndcg@20 {result.avg_ndcg:.5f}")
 
-    with open(os.path.join(SAVE, "amazon_real.json"), "w") as f:
+    with open(os.path.join(SAVE, f"amazon_real_{model_name}.json"), "w") as f:
         json.dump({"recalls": result.recalls, "ndcgs": result.ndcgs,
                    "avg_recall": result.avg_recall,
                    "avg_ndcg": result.avg_ndcg}, f, indent=2)
@@ -134,4 +135,6 @@ if __name__ == "__main__":
     if mode in ("pretrain", "all"):
         run_pretrain()
     if mode in ("finetune", "all"):
-        run_finetune()
+        run_finetune("RAGraph")
+    if mode == "finetune-graphpro":
+        run_finetune("GraphPro")
