@@ -62,7 +62,22 @@ class EdgeTrainer:
         return step
 
     def train(self, params, key: jax.Array, num_epochs: int | None = None,
-              rng: np.random.Generator | None = None) -> TrainResult:
+              rng: np.random.Generator | None = None,
+              checkpoint_dir: str | None = None,
+              checkpoint_every: int = 10) -> TrainResult:
+        """Train with optional full-state checkpoint/resume.
+
+        If ``checkpoint_dir`` is given, (params, optimizer state, epoch,
+        best metrics) are saved every ``checkpoint_every`` epochs and
+        training resumes from the latest snapshot on restart — full
+        optimizer-state resume, which the reference lacks (it only saves
+        model ``state_dict`` on best metric, SURVEY.md §5).
+        """
+        import os
+
+        from ragraph_tpu.train.checkpoint import (restore_checkpoint,
+                                                  save_checkpoint)
+
         cfg = self.cfg
         rng = rng or np.random.default_rng(0)
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
@@ -76,8 +91,21 @@ class EdgeTrainer:
         stop_counter = 0
         history = []
         epochs_run = 0
+        start_epoch = 0
 
-        for epoch in range(num_epochs):
+        resume_path = (os.path.join(checkpoint_dir, "train_state")
+                       if checkpoint_dir else None)
+        if resume_path and os.path.exists(resume_path + ".pkl"):
+            snap = restore_checkpoint(resume_path, use_orbax=False)
+            params = jax.tree.map(jnp.asarray, snap["params"])
+            opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
+            best = snap["best"]
+            best_params = jax.tree.map(jnp.asarray, snap["best_params"])
+            start_epoch = snap["epoch"] + 1
+            stop_counter = snap["stop_counter"]
+            self.log(f"resumed from {resume_path} at epoch {start_epoch}")
+
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             losses, nb = [], 0
             for users, pos, neg in self.dataset.train_batches(
@@ -118,6 +146,13 @@ class EdgeTrainer:
                     self.log(f"early stop at epoch {epoch}; best recall "
                              f"{best['recall'][0]:.4f}")
                     break
+
+            if resume_path and (epoch + 1) % checkpoint_every == 0:
+                save_checkpoint(resume_path, {
+                    "params": params, "opt_state": opt_state,
+                    "best": best, "best_params": best_params,
+                    "epoch": epoch, "stop_counter": stop_counter,
+                }, use_orbax=False)
 
         return TrainResult(best_perform=best, best_params=best_params,
                            epochs_run=epochs_run, history=history)
