@@ -111,10 +111,20 @@ def run_finetune(model_name="RAGraph"):
         f"{tables['meta']['best_recall']:.5f})")
 
     t0 = time.time()
-    model_cls = {"RAGraph": RAGraphEdge, "GraphPro": GraphPro}[model_name]
+    model_cls = {"RAGraph": RAGraphEdge, "RAGraph-noLoRA": RAGraphEdge,
+                 "GraphPro": GraphPro}[model_name]
+    use_lora = model_name != "RAGraph-noLoRA"
+
+    def cfg_factory(phase):
+        c = make_cfg(phase)
+        if not use_lora:
+            import dataclasses as _dc
+            c = _dc.replace(c, use_lora=False)
+        return c
+
     result = staged_finetune(
         pretrain_rows + val_rows, ft_rows, stage_rows, tables,
-        cfg_factory=lambda phase: make_cfg(phase),
+        cfg_factory=cfg_factory,
         key=jr.key(7), num_epochs=60, logger=log,
         model_cls=model_cls)
     log(f"staged fine-tune done in {time.time()-t0:.0f}s")
@@ -138,3 +148,5 @@ if __name__ == "__main__":
         run_finetune("RAGraph")
     if mode == "finetune-graphpro":
         run_finetune("GraphPro")
+    if mode == "finetune-nolora":
+        run_finetune("RAGraph-noLoRA")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ragraph_tpu.models.edge.base import (bpr_loss, edge_drop_mask,
                                           lightgcn_propagate, reg_loss_emb)
-from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN, xavier
+from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN
 
 
 def gru_cell_init(key: jax.Array, size: int) -> dict:

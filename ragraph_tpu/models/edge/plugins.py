@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ragraph_tpu.models.edge.base import (bpr_loss, cal_infonce,
-                                          edge_drop_mask,
-                                          lightgcn_propagate, reg_loss_emb,
+                                          edge_drop_mask, reg_loss_emb,
                                           relative_time_encoding,
                                           unique_padded)
 from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN

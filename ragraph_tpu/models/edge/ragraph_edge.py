@@ -25,7 +25,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ragraph_tpu.data.edgelist import EdgeDataset
 from ragraph_tpu.models.edge.base import (EdgeModelConfig, bpr_loss,

@@ -23,7 +23,6 @@ per-graph pipeline over stacked batches instead of batch-size-1 loops.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -15,13 +15,11 @@ forward (``RAGraph_graph/finetune-rag.py:27``); here the whole stacked
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ragraph_tpu.core.graph import _pytree_dataclass
 from ragraph_tpu.models.preprompt import PrePrompt
 from ragraph_tpu.models.ragraph_node import RAGraphNodeState
 from ragraph_tpu.nn.heads import TaskDecoder

@@ -21,7 +21,6 @@ reference optimizer over ``rag_model.parameters()``
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

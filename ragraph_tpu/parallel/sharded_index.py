@@ -17,11 +17,9 @@ O(k·D) bytes over ICI instead of O(R).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ragraph_tpu.ops.similarity import l2_normalize
 

@@ -25,7 +25,6 @@ wins for very large R or tight latency budgets; the benchmark
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
