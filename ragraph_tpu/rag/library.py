@@ -213,7 +213,12 @@ def build_entries_batch(encoder_fn: Callable, features, adjs, labels,
     copies = 1 + cfg.num_augment_scale
 
     def per_graph(f, a, y, m, gy, k):
-        sample_prob = inverse_sample_prob_dense(a, m)
+        if cfg.num_augment_scale > 0 or cfg.num_inverse_sample > 0:
+            sample_prob = inverse_sample_prob_dense(a, m)
+        else:
+            # PageRank feeds only augmentation/inverse-sampling; skip the
+            # power iteration entirely on the clean path
+            sample_prob = jnp.zeros((f.shape[0],))
 
         def per_copy(i):
             k_i = jax.random.fold_in(k, i)
