@@ -55,6 +55,13 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
         if method == "approx":
             s_loc, i_loc = jax.lax.approx_max_k(
                 scores, k_local, recall_target=recall_target)
+        elif method == "pallas":
+            # exact fused kernel on the local shard (scores recomputed
+            # inside the kernel; the matmul above is DCE'd)
+            from ragraph_tpu.ops.pallas_retrieval import fused_cosine_topk
+            s_loc, i_loc = fused_cosine_topk(
+                l2_normalize(q), l2_normalize(kk), k_local,
+                valid_mask=vm, interpret=jax.default_backend() == "cpu")
         else:
             s_loc, i_loc = jax.lax.top_k(scores, k_local)
         offset = jax.lax.axis_index(axis_name) * rows_local

@@ -233,3 +233,13 @@ class TestExperimentConfig:
         from ragraph_tpu.config import ExperimentConfig
         cfg = ExperimentConfig().replace(lr=5e-4)
         assert cfg.lr == 5e-4
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ragraph_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "b": {"x": jnp.ones(2)}}
+    p = save_checkpoint(str(tmp_path / "ock"), tree, use_orbax=True)
+    back = restore_checkpoint(p, template=tree, use_orbax=True)
+    np.testing.assert_allclose(np.asarray(back["w"]),
+                               np.arange(6.0).reshape(2, 3))
