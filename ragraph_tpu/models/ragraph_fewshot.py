@@ -228,6 +228,32 @@ class RAGraphFewshot:
         m = graph.node_mask.astype(per_node.dtype)
         return jnp.sum(per_node * m) / jnp.maximum(m.sum(), 1.0)
 
+    def loss_graph(self, state: RAGraphFewshotState, batch: dict,
+                   key=None) -> jax.Array:
+        """Graph-level CE over cosine-to-prototype scores
+        (``RAGraph_graph_fewshot/finetune-rag.py`` protocol)."""
+        protos = self.prototypes(state.encoder_params, state.support)
+        logits = self.forward_graph(state, batch, training=True, key=key)
+        class_scores = fewshot_predict_logits(protos, logits)
+        logp = jax.nn.log_softmax(class_scores, axis=-1)
+        per_graph = -jnp.sum(batch["graph_onehot"] * logp, axis=-1)
+        gmask = batch["node_mask"].any(axis=1).astype(per_graph.dtype)
+        return jnp.sum(per_graph * gmask) / jnp.maximum(gmask.sum(), 1.0)
+
+    def make_train_step_graph(self, optimizer):
+        def step(state, opt_state, batch, key):
+            def loss_fn(p):
+                s = dataclasses.replace(state, encoder_params=p)
+                return self.loss_graph(s, batch, key)
+            loss_val, grads = jax.value_and_grad(loss_fn)(
+                state.encoder_params)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  state.encoder_params)
+            new_params = optax.apply_updates(state.encoder_params, updates)
+            return (dataclasses.replace(state, encoder_params=new_params),
+                    opt_state, loss_val)
+        return jax.jit(step)
+
     def make_train_step_node(self, optimizer):
         def step(state, opt_state, graph, key):
             def loss_fn(p):

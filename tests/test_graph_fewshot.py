@@ -206,3 +206,31 @@ class TestFewshotPipeline:
         acc = task.accuracy_graph(state,
                                   stacked_batches(data["test"].graphs, 8))
         assert acc > 0.33, f"fewshot graph accuracy {acc} at/below chance"
+
+
+def test_graph_fewshot_train_step(data):
+    """Graph-level fewshot fine-tune: one step runs and reduces loss on a
+    repeated batch."""
+    libcfg = fewshot_library_config(retrieve_num=3, num_inverse_sample=0,
+                                    num_augment_scale=0,
+                                    structure_weight=0.0,
+                                    use_positions=False)
+    cfg = RAGraphFewshotConfig(emb_size=HID, num_class=3, level="graph",
+                               query_graph_hop=1, encoder_layers=2,
+                               library=libcfg)
+    task = RAGraphFewshot(cfg, feature_dim=16)
+    support = _support_set(data)
+    state = task.init_state(jr.key(9), support, library_capacity=4096)
+    state = task.build_library(
+        state, stacked_batches(data["train"].graphs, 8), jr.key(10))
+    batch = next(iter(stacked_batches(data["val"].graphs, 8)))
+    opt = optax.adam(1e-3)
+    tstep = task.make_train_step_graph(opt)
+    opt_state = opt.init(state.encoder_params)
+    losses = []
+    for i in range(5):
+        state, opt_state, loss = tstep(state, opt_state, batch,
+                                       jr.fold_in(jr.key(11), i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
