@@ -11,9 +11,25 @@ pretrain/val, pretrain GraphPro (the reference's pretrained backbone,
 ~132k users x ~107k items; per-forward retrieval over a 239k-row resource
 graph (query-chunked). Results land in ``results/amazon_real.json``.
 
+Measured (v5e single chip, avg over the 8 stages, recall@20 / ndcg@20):
+
+  pretrain-only GraphPro baseline      0.00710 / —        (val split)
+  staged GraphPro (fine-tune, no RAG)  0.01083 / 0.00562  (~19 min)
+  staged RAGraph + LoRA (ref default)  0.00955 / 0.00475  (~49 min)
+  staged RAGraph, LoRA off             0.01165 / 0.00582  (~55 min)  ← best
+
+Findings: staged fine-tuning beats the frozen pretrain baseline by ~1.5x;
+RAG retrieval adds +7.6% recall over the no-RAG ablation; the rank-16
+LoRA constraint HURTS here (-18%) because the weak pretrained base (the
+true pretrain.txt is stripped; we pretrain on the much sparser val split)
+needs larger updates than a low-rank delta expresses. Absolute numbers
+are not comparable to the paper for the same reason.
+
 Usage:
-  python experiments/amazon_real.py pretrain   # ~15-30 min on v5e
+  python experiments/amazon_real.py pretrain   # ~5 min on v5e
   python experiments/amazon_real.py finetune   # staged RAGraph run
+  python experiments/amazon_real.py finetune-graphpro  # no-RAG ablation
+  python experiments/amazon_real.py finetune-nolora    # LoRA-off ablation
   python experiments/amazon_real.py all
 """
 
