@@ -156,6 +156,54 @@ def run_finetune(model_name="RAGraph"):
     return result
 
 
+def run_vanilla():
+    """Training-free staged eval (vanilla_ragraph.py protocol): frozen
+    pretrained embeddings + resource-graph retrieval, no fine-tuning."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from ragraph_tpu.data import load_edge_dataset, merge_rows
+    from ragraph_tpu.models.edge import EdgeGraphArrays, RAGraphEdge
+    from ragraph_tpu.train import (RankingEvaluator, RunLogger,
+                                   restore_checkpoint)
+    from ragraph_tpu.utils import seed_everything
+
+    log = RunLogger(save_dir=SAVE, exp_name="amazon-vanilla")
+    seed_everything(2023)
+    pretrain_rows, val_rows, ft_rows, stage_rows = load_rows()
+    tables = restore_checkpoint(CKPT, use_orbax=False)
+    num_users = tables["meta"]["num_users"]
+    num_items = tables["meta"]["num_items"]
+
+    all_rows = [pretrain_rows + val_rows, ft_rows, *stage_rows]
+    ev = RankingEvaluator(ks=(20,))
+    recalls, ndcgs = [], []
+    for stage in range(1, len(stage_rows) + 1):
+        prompt_rows = merge_rows(all_rows[: stage + 1])
+        ds = load_edge_dataset(prompt_rows, stage_rows[stage - 1],
+                               num_users=num_users, num_items=num_items)
+        cfg = make_cfg("vanilla", num_nodes=ds.num_nodes)
+        model = RAGraphEdge(cfg, EdgeGraphArrays.from_dataset(ds),
+                            phase="vanilla")
+        params = {"user_embedding": jnp.asarray(tables["user_embedding"]),
+                  "item_embedding": jnp.asarray(tables["item_embedding"])}
+        u0, i0 = model.generate(params)
+        model.make_resource_graph(u0, i0, jr.key(stage))
+        user_emb, item_emb = model.generate(params)
+        result = ev.evaluate(user_emb, item_emb, ds.test_user_dict,
+                             ds.user_hist_dict)
+        recalls.append(float(result["recall"][0]))
+        ndcgs.append(float(result["ndcg"][0]))
+        log(f"stage {stage}: recall={recalls[-1]:.5f} "
+            f"ndcg={ndcgs[-1]:.5f}")
+    log(f"vanilla avg recall@20 {np.mean(recalls):.5f} "
+        f"avg ndcg@20 {np.mean(ndcgs):.5f}")
+    with open(os.path.join(SAVE, "amazon_real_vanilla.json"), "w") as f:
+        json.dump({"recalls": recalls, "ndcgs": ndcgs,
+                   "avg_recall": float(np.mean(recalls)),
+                   "avg_ndcg": float(np.mean(ndcgs))}, f, indent=2)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode in ("pretrain", "all"):
@@ -166,3 +214,5 @@ if __name__ == "__main__":
         run_finetune("GraphPro")
     if mode == "finetune-nolora":
         run_finetune("RAGraph-noLoRA")
+    if mode == "vanilla":
+        run_vanilla()

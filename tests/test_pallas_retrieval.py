@@ -69,3 +69,16 @@ def test_padding_of_q_and_r():
                              interpret=INTERPRET)
     assert s.shape == (13, 4) and i.shape == (13, 4)
     assert np.all(np.asarray(i) < 300)  # padding rows never retrieved
+
+
+def test_rebuild_merge_matches_insert():
+    rng = np.random.default_rng(4)
+    q = l2_normalize(jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32)))
+    keys = l2_normalize(jnp.asarray(
+        rng.normal(size=(512, 64)).astype(np.float32)))
+    s1, i1 = fused_cosine_topk(q, keys, 6, block_q=16, block_r=128,
+                               interpret=INTERPRET, merge="insert")
+    s2, i2 = fused_cosine_topk(q, keys, 6, block_q=16, block_r=128,
+                               interpret=INTERPRET, merge="rebuild")
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
