@@ -187,11 +187,17 @@ def run_vanilla():
                             phase="vanilla")
         params = {"user_embedding": jnp.asarray(tables["user_embedding"]),
                   "item_embedding": jnp.asarray(tables["item_embedding"])}
-        u0, i0 = model.generate(params)
+        import jax
+        # jit the full generate: the eager path would materialize every
+        # intermediate (the (N, k, E) retrieval gather alone is ~3 GB)
+        u0, i0 = jax.jit(model.generate)(params)
         model.make_resource_graph(u0, i0, jr.key(stage))
-        user_emb, item_emb = model.generate(params)
+        del u0, i0
+        user_emb, item_emb = jax.jit(model.generate)(params)
         result = ev.evaluate(user_emb, item_emb, ds.test_user_dict,
                              ds.user_hist_dict)
+        del user_emb, item_emb
+        model.resource_keys = model.resource_values = None
         recalls.append(float(result["recall"][0]))
         ndcgs.append(float(result["ndcg"][0]))
         log(f"stage {stage}: recall={recalls[-1]:.5f} "

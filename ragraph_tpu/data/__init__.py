@@ -10,8 +10,8 @@ from ragraph_tpu.data.edgelist import (  # noqa: F401
     timestamp_to_time_step,
 )
 from ragraph_tpu.data.planetoid import (  # noqa: F401
-    load_planetoid, row_normalize_features, adj_to_bias, micro_f1,
-    sample_mask,
+    load_planetoid, row_normalize_features, standardize_data, adj_to_bias,
+    micro_f1, sample_mask,
 )
 from ragraph_tpu.data.fewshot_export import (  # noqa: F401
     sample_k_shot_nodes, export_fewshot_splits, load_fewshot_split,

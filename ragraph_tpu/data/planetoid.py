@@ -87,6 +87,16 @@ def row_normalize_features(features: np.ndarray) -> np.ndarray:
     return features * inv
 
 
+def standardize_data(features: np.ndarray,
+                     train_mask: np.ndarray) -> np.ndarray:
+    """Z-score features using statistics of the training rows only
+    (``standardize_data``, ``RAGraph_node/utils/process.py:187-197``)."""
+    mu = features[train_mask].mean(axis=0)
+    sigma = features[train_mask].std(axis=0)
+    sigma = np.where(sigma > 0, sigma, 1.0)
+    return (features - mu) / sigma
+
+
 def adj_to_bias(adj: np.ndarray, nhood: int = 1) -> np.ndarray:
     """Attention bias: 0 within ``nhood`` hops (incl. self), -1e9 outside
     (``adj_to_bias``, single-graph form)."""

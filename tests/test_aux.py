@@ -243,3 +243,13 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = restore_checkpoint(p, template=tree, use_orbax=True)
     np.testing.assert_allclose(np.asarray(back["w"]),
                                np.arange(6.0).reshape(2, 3))
+
+
+def test_standardize_data():
+    from ragraph_tpu.data.planetoid import standardize_data
+    rng = np.random.default_rng(0)
+    f = rng.normal(loc=5.0, scale=2.0, size=(100, 4)).astype(np.float32)
+    mask = np.arange(100) < 60
+    out = standardize_data(f, mask)
+    np.testing.assert_allclose(out[mask].mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out[mask].std(0), 1.0, atol=1e-5)
