@@ -17,6 +17,7 @@ Measured (v5e single chip, avg over the 8 stages, recall@20 / ndcg@20):
   staged GraphPro (fine-tune, no RAG)  0.01083 / 0.00562  (~19 min)
   staged RAGraph + LoRA (ref default)  0.00955 / 0.00475  (~49 min)
   staged RAGraph, LoRA off             0.01165 / 0.00582  (~55 min)  ← best
+  training-free vanilla RAGraph        0.00135 / 0.00080  (no tuning)
 
 Findings: staged fine-tuning beats the frozen pretrain baseline by ~1.5x;
 RAG retrieval adds +7.6% recall over the no-RAG ablation; the rank-16
