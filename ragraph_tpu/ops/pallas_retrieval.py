@@ -63,25 +63,28 @@ def _merge_topk(best_s, best_i, tile_s, tile_i, k: int):
     return new_s, new_i
 
 
-def _insert_merge(best_s, best_i, tile, gidx, k: int):
-    """Insertion merge: extract tile maxima one at a time and insert each
-    into the sorted running buffer, looping only while some query still
-    has a tile entry beating its k-th best. With random data the expected
-    number of iterations per tile rapidly drops to ~0-2 (vs always-k for
-    the rebuild merge) because the running threshold tightens.
+def _insert_merge(best_s, best_i, tile, gidx, k: int,
+                  extract_per_iter: int = 1):
+    """Insertion merge: extract tile maxima and insert each into the
+    sorted running buffer, looping only while some query still has a tile
+    entry beating its k-th best. With random data the expected number of
+    iterations per tile rapidly drops (vs always-k for the rebuild merge)
+    because the running threshold tightens. ``extract_per_iter`` unrolls
+    several extractions per while-iteration to amortize loop overhead.
     """
     bq, br = tile.shape
     k_pad = best_s.shape[1]
     col_t = jax.lax.broadcasted_iota(jnp.int32, (bq, br), 1)
     col_b = jax.lax.broadcasted_iota(jnp.int32, (bq, k_pad), 1)
 
+    # the running tile row-max is CARRIED through the loop so the cond
+    # check is O(BQ) instead of a full (BQ, BR) pass per iteration
     def cond(state):
-        tile_s, bs, bi = state
-        return jnp.any(jnp.max(tile_s, axis=1) > bs[:, k - 1])
+        tile_s, bs, bi, cur = state
+        return jnp.any(cur[:, 0] > bs[:, k - 1])
 
-    def body(state):
-        tile_s, bs, bi = state
-        cur = jnp.max(tile_s, axis=1, keepdims=True)              # (BQ, 1)
+    def one_extract(state):
+        tile_s, bs, bi, cur = state                               # cur (BQ,1)
         is_max = tile_s == cur
         pos = jnp.min(jnp.where(is_max, col_t, br), axis=1,
                       keepdims=True)
@@ -104,15 +107,24 @@ def _insert_merge(best_s, best_i, tile, gidx, k: int):
         new_i = jnp.where(col_b < ins, bi,
                           jnp.where(col_b == ins, cur_i, shifted_i))
         w = wins[:, None]
-        return tile_s, jnp.where(w, new_s, bs), jnp.where(w, new_i, bi)
+        next_cur = jnp.max(tile_s, axis=1, keepdims=True)
+        return (tile_s, jnp.where(w, new_s, bs),
+                jnp.where(w, new_i, bi), next_cur)
 
-    _, bs, bi = jax.lax.while_loop(cond, body, (tile, best_s, best_i))
+    def body(state):
+        for _ in range(extract_per_iter):
+            state = one_extract(state)
+        return state
+
+    cur0 = jnp.max(tile, axis=1, keepdims=True)
+    _, bs, bi, _ = jax.lax.while_loop(cond, body,
+                                      (tile, best_s, best_i, cur0))
     return bs, bi
 
 
 def _kernel(q_ref, k_ref, vm_ref, out_s_ref, out_i_ref,
             best_s, best_i, *, k: int, k_pad: int, block_r: int,
-            merge: str):
+            merge: str, extract_per_iter: int = 1):
     j = pl.program_id(1)
     n_r = pl.num_programs(1)
 
@@ -131,7 +143,8 @@ def _kernel(q_ref, k_ref, vm_ref, out_s_ref, out_i_ref,
             + jax.lax.broadcasted_iota(jnp.int32, (bq, block_r), 1))
 
     if merge == "insert":
-        new_s, new_i = _insert_merge(best_s[:], best_i[:], tile, gidx, k)
+        new_s, new_i = _insert_merge(best_s[:], best_i[:], tile, gidx, k,
+                                     extract_per_iter=extract_per_iter)
         best_s[:] = new_s
         best_i[:] = new_i
     else:
@@ -155,11 +168,12 @@ def _kernel(q_ref, k_ref, vm_ref, out_s_ref, out_i_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_q", "block_r", "interpret",
-                                    "merge"))
+                                    "merge", "extract_per_iter"))
 def fused_cosine_topk(queries: jax.Array, keys_n: jax.Array, k: int,
                       valid_mask: jax.Array | None = None,
                       block_q: int = 256, block_r: int = 2048,
-                      interpret: bool = False, merge: str = "insert"):
+                      interpret: bool = False, merge: str = "insert",
+                      extract_per_iter: int = 1):
     """Exact fused top-k.
 
     Args:
@@ -191,7 +205,7 @@ def fused_cosine_topk(queries: jax.Array, keys_n: jax.Array, k: int,
 
     out_s, out_i = pl.pallas_call(
         functools.partial(_kernel, k=k, k_pad=k_pad, block_r=block_r,
-                          merge=merge),
+                          merge=merge, extract_per_iter=extract_per_iter),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, e), lambda i, j: (i, 0),
