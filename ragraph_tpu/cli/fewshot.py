@@ -75,7 +75,15 @@ def main(argv=None):
     ckpt = os.path.join(args.save_dir, f"model_{args.dataset}")
     try:
         enc_params = restore_checkpoint(ckpt, use_orbax=False)
-        log(f"loaded pretrain checkpoint {ckpt}")
+        # the fewshot encoder needs 2 layers (encode/decode split); a
+        # checkpoint pretrained with fewer layers cannot be loaded
+        gcn = enc_params.get("params", {}).get("gcn", {})
+        if "conv_1" not in gcn:
+            log(f"checkpoint {ckpt} has <2 encoder layers; using random "
+                f"2-layer init (pretrain with --encoder-layers 2 first)")
+            enc_params = None
+        else:
+            log(f"loaded pretrain checkpoint {ckpt}")
     except FileNotFoundError:
         log("no pretrain checkpoint; random 2-layer encoder init")
 
