@@ -58,6 +58,12 @@ class RunLogger:
         if echo_argv:
             self.log(f"PID: {os.getpid()}")
             self.log("CMD: python " + " ".join(sys.argv))
+        # ps-visible process title (setproctitle, RAGraph_edge/pretrain.py:16)
+        try:
+            import setproctitle
+            setproctitle.setproctitle(f"ragraph_tpu:{exp_name}")
+        except ImportError:
+            pass
 
     def __call__(self, msg):
         self.log(msg)
