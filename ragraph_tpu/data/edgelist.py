@@ -78,11 +78,13 @@ class EdgeDataset:
     test_user_dict: dict          # user -> list[item]
     user_hist_dict: dict          # user -> list[item] (history for masking)
 
-    # device-layout bidirectional graph over n = U + I nodes
+    # device-layout bidirectional graph over n = U + I nodes,
+    # receiver-sorted (enables prefix-sum segment reductions)
     senders: np.ndarray           # (2E,) int32
-    receivers: np.ndarray         # (2E,) int32
+    receivers: np.ndarray         # (2E,) int32 (sorted ascending)
     edge_norm: np.ndarray         # (2E,) float32 binorm weights
     edge_times_bi: np.ndarray     # (2E,) int32
+    recv_indptr: np.ndarray = None  # (U+I+1,) int32 CSR boundaries
 
     # vectorized negative-sampling tables
     _hist_keys: np.ndarray = None  # sorted user*I+item of train pairs
@@ -200,6 +202,19 @@ def load_edge_dataset(train, test, hour_interval: float = 1.0,
     edge_norm = np.concatenate([norm, norm])
     edge_times_bi = np.concatenate([edge_time, edge_time]).astype(np.int32)
 
+    # receiver-sorted order: every per-edge op is order-invariant, and the
+    # sort enables the prefix-sum segment reduction
+    # (ops/pallas_segment.py) instead of scatter-add
+    order = np.argsort(receivers, kind="stable")
+    senders = senders[order]
+    receivers = receivers[order]
+    edge_norm = edge_norm[order]
+    edge_times_bi = edge_times_bi[order]
+    n_nodes = num_users + num_items
+    recv_counts = np.bincount(receivers, minlength=n_nodes)
+    recv_indptr = np.zeros(n_nodes + 1, np.int32)
+    recv_indptr[1:] = np.cumsum(recv_counts)
+
     hist_keys = np.unique(edgelist[:, 0].astype(np.int64) * num_items
                           + edgelist[:, 1])
 
@@ -211,6 +226,7 @@ def load_edge_dataset(train, test, hour_interval: float = 1.0,
         user_hist_dict=user_hist_dict,
         senders=senders, receivers=receivers,
         edge_norm=edge_norm, edge_times_bi=edge_times_bi,
+        recv_indptr=recv_indptr,
         _hist_keys=hist_keys,
     )
 

@@ -54,6 +54,9 @@ class EdgeModelConfig:
     use_noise: bool = False
     lora_rank: int = 16
     use_lora: bool = True
+    # segment-reduction implementation: "scatter" (XLA) or "sorted"
+    # (Pallas prefix-sum, TPU only, needs receiver-sorted edges)
+    segsum_impl: str = "scatter"
     # plugin knobs (``parse_args.py:49-63``)
     temp: float = 0.2        # SGL InfoNCE temperature
     lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)
@@ -148,18 +151,32 @@ def relative_time_encoding(edge_times: jax.Array, receivers: jax.Array,
     return segment_softmax(t, receivers, num_nodes, mask=edge_mask)
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "num_layers"))
+@partial(jax.jit, static_argnames=("num_nodes", "num_layers", "impl"))
 def lightgcn_propagate(all_emb: jax.Array, senders: jax.Array,
                        receivers: jax.Array, weights: jax.Array,
-                       num_nodes: int, num_layers: int):
+                       num_nodes: int, num_layers: int,
+                       recv_indptr: jax.Array | None = None,
+                       impl: str = "scatter"):
     """LightGCN layers; returns the list [h0, h1, ..., hL].
 
-    One gather + VPU scale + segment-sum per layer
+    One gather + VPU scale + segment reduction per layer
     (``modules/RAGraph.py:232-240``); dropped edges carry zero weight.
+
+    ``impl="sorted"`` (requires receiver-sorted edges + ``recv_indptr``)
+    uses the Pallas streaming-prefix-sum reduction
+    (:mod:`ragraph_tpu.ops.pallas_segment`) — ~2x over XLA scatter-add on
+    v5e at 512k edges; differentiable via a custom gather VJP.
     """
+    use_sorted = impl == "sorted" and recv_indptr is not None
+    if use_sorted:
+        from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_grad
     layers = [all_emb]
     for _ in range(num_layers):
         msgs = layers[-1][senders] * weights[:, None]
-        layers.append(jax.ops.segment_sum(msgs, receivers,
-                                          num_segments=num_nodes))
+        if use_sorted:
+            layers.append(sorted_segment_sum_grad(msgs, recv_indptr,
+                                                  receivers))
+        else:
+            layers.append(jax.ops.segment_sum(msgs, receivers,
+                                              num_segments=num_nodes))
     return layers

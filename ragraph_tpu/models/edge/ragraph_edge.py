@@ -74,14 +74,18 @@ class EdgeGraphArrays:
     edge_times: jax.Array
     num_users: int
     num_items: int
+    recv_indptr: jax.Array | None = None  # CSR bounds (receiver-sorted)
 
     @classmethod
     def from_dataset(cls, ds: EdgeDataset) -> "EdgeGraphArrays":
+        indptr = (jnp.asarray(ds.recv_indptr)
+                  if getattr(ds, "recv_indptr", None) is not None else None)
         return cls(senders=jnp.asarray(ds.senders),
                    receivers=jnp.asarray(ds.receivers),
                    edge_norm=jnp.asarray(ds.edge_norm),
                    edge_times=jnp.asarray(ds.edge_times_bi),
-                   num_users=ds.num_users, num_items=ds.num_items)
+                   num_users=ds.num_users, num_items=ds.num_items,
+                   recv_indptr=indptr)
 
     @property
     def num_nodes(self):
@@ -109,6 +113,15 @@ class TemporalLightGCN:
         self.phase = phase
         self.resource_keys = None   # (R, E) buffers, not parameters
         self.resource_values = None
+
+    def _segsum_impl(self) -> str:
+        """Pallas sorted reduction only on TPU (Mosaic-compiled)."""
+        import jax as _jax
+        if (self.cfg.segsum_impl == "sorted"
+                and _jax.default_backend() == "tpu"
+                and self.graph.recv_indptr is not None):
+            return "sorted"
+        return "scatter"
 
     # -- params ------------------------------------------------------------
 
@@ -181,7 +194,9 @@ class TemporalLightGCN:
         all_emb = self._gate(params, all_emb, key, training)
 
         layers = lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
-                                    g.num_nodes, cfg.num_layers)
+                                    g.num_nodes, cfg.num_layers,
+                                    recv_indptr=g.recv_indptr,
+                                    impl=self._segsum_impl())
         res_emb = sum(layers)
 
         if self.use_rag and self.phase in ("vanilla", "finetune") \
@@ -241,7 +256,9 @@ class TemporalLightGCN:
         all_emb = jnp.concatenate([pretrained_user_emb, pretrained_item_emb],
                                   axis=0)
         layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
-                                    g.edge_norm, g.num_nodes, cfg.num_layers)
+                                    g.edge_norm, g.num_nodes, cfg.num_layers,
+                                    recv_indptr=g.recv_indptr,
+                                    impl=self._segsum_impl())
         keys_base = layers[-1]
         values_base = sum(layers[0::2])
 
