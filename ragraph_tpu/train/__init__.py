@@ -8,3 +8,4 @@ from ragraph_tpu.train.profiling import (  # noqa: F401
     phase, phase_totals, annotate, start_trace, stop_trace,
     tree_all_finite, assert_all_finite,
 )
+from ragraph_tpu.train.prefetch import prefetch, PrefetchIterator  # noqa: F401

@@ -108,8 +108,9 @@ class EdgeTrainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             losses, nb = [], 0
-            for users, pos, neg in self.dataset.train_batches(
-                    cfg.batch_size, rng, drop_remainder=True):
+            from ragraph_tpu.train.prefetch import prefetch
+            for users, pos, neg in prefetch(self.dataset.train_batches(
+                    cfg.batch_size, rng, drop_remainder=True), depth=2):
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
                 params, opt_state, loss, _ = step(
                     params, opt_state, jnp.asarray(users), jnp.asarray(pos),

@@ -253,3 +253,22 @@ def test_standardize_data():
     out = standardize_data(f, mask)
     np.testing.assert_allclose(out[mask].mean(0), 0.0, atol=1e-5)
     np.testing.assert_allclose(out[mask].std(0), 1.0, atol=1e-5)
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        from ragraph_tpu.train.prefetch import prefetch
+        items = list(prefetch(iter(range(100)), depth=3))
+        assert items == list(range(100))
+
+    def test_exception_propagates(self):
+        from ragraph_tpu.train.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(gen())
+        assert next(it) == 1
+        with pytest.raises(ValueError):
+            list(it)
