@@ -314,6 +314,26 @@ class TemporalLightGCN:
         return jnp.dot(user_emb, item_emb.T,
                        preferred_element_type=jnp.float32)
 
+    def recommend(self, params, user_ids: jax.Array, k: int = 20,
+                  hist_rows: jax.Array | None = None,
+                  hist_cols: jax.Array | None = None, key=None):
+        """Serving path: top-k item ids per user, history-masked.
+
+        ``hist_rows/hist_cols`` index (batch-row, item) pairs to exclude
+        (the user's seen items; out-of-bounds columns are ignored). Uses
+        the TPU PartialReduce top-k above 32k items.
+        """
+        user_emb, item_emb = self.generate(params, key=key)
+        scores = jnp.dot(user_emb[user_ids], item_emb.T,
+                         preferred_element_type=jnp.float32)
+        if hist_rows is not None:
+            scores = scores.at[hist_rows, hist_cols].set(-1e8, mode="drop")
+        if item_emb.shape[0] >= 32_768:
+            s, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        else:
+            s, idx = jax.lax.top_k(scores, k)
+        return s, idx
+
 
 class LightGCNEdge(TemporalLightGCN):
     """Plain LightGCN (no time encoding, no gate, no RAG)."""

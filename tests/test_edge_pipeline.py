@@ -286,3 +286,20 @@ def test_trainer_checkpoint_resume(stream, tmp_path):
     assert np.isfinite(r_res.best_perform["recall"]).all()
     assert r_res.best_perform["recall"][0] > 0
     assert r_full.best_perform["recall"][0] > 0
+
+
+def test_recommend_serving_path(stream):
+    from ragraph_tpu.models.edge import RAGraphEdge
+    import jax.random as jr
+    train, stages = stream
+    ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+    g = EdgeGraphArrays.from_dataset(ds)
+    model = RAGraphEdge(_small_cfg(), g, phase="pretrain")
+    params = model.init_params(jr.key(0))
+    users = jnp.arange(4, dtype=jnp.int32)
+    # mask user 0's history: item column 0
+    scores, items = model.recommend(
+        params, users, k=5,
+        hist_rows=jnp.asarray([0]), hist_cols=jnp.asarray([0]))
+    assert items.shape == (4, 5)
+    assert 0 not in np.asarray(items[0])  # masked
