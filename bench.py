@@ -84,10 +84,13 @@ def bench_tpu():
     roundtrip = time.perf_counter() - t0
 
     float(retrieve_chain(queries, keys_n, values))  # compile
-    t0 = time.perf_counter()
-    float(retrieve_chain(queries, keys_n, values))
-    total = time.perf_counter() - t0
-    dt = max((total - roundtrip) / ITERS, 1e-9)
+    # best-of-3: the tunnel roundtrip and chip state vary run to run
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(retrieve_chain(queries, keys_n, values))
+        totals.append(time.perf_counter() - t0)
+    dt = max((min(totals) - roundtrip) / ITERS, 1e-9)
     return Q / dt, recall, dt
 
 
