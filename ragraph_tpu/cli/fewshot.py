@@ -125,12 +125,18 @@ def main(argv=None):
                                    num_graph_classes=num_class),
             jr.key(task_i + 100))
 
-        if finetune and args.level == "node":
+        if finetune:
             opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
-            tstep = task.make_train_step_node(opt)
+            if args.level == "node":
+                tstep = task.make_train_step_node(opt)
+                batches = list(flat_batches(val.graphs, args.batch_size,
+                                            pad, num_classes=num_class))
+            else:
+                tstep = task.make_train_step_graph(opt)
+                batches = list(stacked_batches(val.graphs, args.batch_size,
+                                               num_classes=num_class,
+                                               num_graph_classes=num_class))
             opt_state = opt.init(state.encoder_params)
-            batches = list(flat_batches(val.graphs, args.batch_size, pad,
-                                        num_classes=num_class))
             for epoch in range(args.epochs):
                 tot = 0.0
                 for i, g in enumerate(batches):

@@ -98,3 +98,15 @@ def test_fewshot_finetune_node(workdir):
                         "--save-dir", str(workdir / "m"),
                         "--results-dir", str(workdir / "r")])
     assert np.isfinite(mean)
+
+
+def test_fewshot_finetune_graph_level(workdir):
+    from ragraph_tpu.cli import fewshot as fs_cli
+    mean = fs_cli.main(["finetune", "--dataset", "SYNTH", "--level",
+                        "graph", "--hidden", "16", "--batch-size", "8",
+                        "--test-times", "1", "--epochs", "2",
+                        "--retrieve-num", "3",
+                        "--library-capacity", "16384",
+                        "--save-dir", str(workdir / "m"),
+                        "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean)
