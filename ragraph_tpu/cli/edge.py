@@ -82,7 +82,7 @@ def _cfg(args, phase, dataset_name, num_nodes=None):
         edge_dropout=args.edge_dropout, lr=args.lr,
         num_epochs=args.epochs, early_stop_patience=args.patience,
         use_noise=args.noise,
-        batch_size=min(args.batch_size, 4096))
+        batch_size=args.batch_size)
 
 
 def run_pretrain(args):

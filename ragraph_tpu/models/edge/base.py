@@ -46,6 +46,9 @@ class EdgeModelConfig:
     metrics: tuple = ("recall", "ndcg")
     metrics_k: tuple = (20,)
     # RAG knobs (per-dataset table lives in ragraph_edge.py)
+    rag_chunk: int | None = None  # retrieval query-chunk size (the
+    # reference's per-phase "batch_size", modules/RAGraph.py:39-83);
+    # defaults to batch_size
     retrieve_weight: float = 0.3
     retrieve_num: int = 10
     noise_retrieve_num: int = 1

@@ -44,21 +44,21 @@ xavier = jax.nn.initializers.glorot_uniform()
 # synthetic/test datasets.
 EDGE_DATASET_CONFIGS = {
     "amazon": dict(retrieve_weight=0.3,
-                   vanilla=dict(batch_size=32768, retrieve_num=50,
+                   vanilla=dict(rag_chunk=32768, retrieve_num=50,
                                 num_augment_scale=0, inverse_frac=0.01),
-                   finetune=dict(batch_size=4096, retrieve_num=10,
+                   finetune=dict(rag_chunk=4096, retrieve_num=10,
                                  noise_retrieve_num=1, num_augment_scale=0,
                                  num_inverse_sample=0)),
     "koubei": dict(retrieve_weight=0.3,
-                   vanilla=dict(batch_size=512, retrieve_num=100000,
+                   vanilla=dict(rag_chunk=512, retrieve_num=100000,
                                 num_augment_scale=1, inverse_frac=0.01),
-                   finetune=dict(batch_size=4096, retrieve_num=20,
+                   finetune=dict(rag_chunk=4096, retrieve_num=20,
                                  noise_retrieve_num=1, num_augment_scale=0,
                                  num_inverse_sample=0)),
     "taobao": dict(retrieve_weight=0.3,
-                   vanilla=dict(batch_size=512, retrieve_num=100000,
+                   vanilla=dict(rag_chunk=512, retrieve_num=100000,
                                 num_augment_scale=1, inverse_frac=0.01),
-                   finetune=dict(batch_size=4096, retrieve_num=20,
+                   finetune=dict(rag_chunk=4096, retrieve_num=20,
                                  noise_retrieve_num=1, num_augment_scale=0,
                                  num_inverse_sample=0)),
 }
@@ -219,7 +219,7 @@ class TemporalLightGCN:
         k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
         k = min(k, self.resource_keys.shape[0])
         qn = query_emb.shape[0]
-        chunk = min(cfg.batch_size, qn)
+        chunk = min(cfg.rag_chunk or cfg.batch_size, qn)
         if qn > chunk:
             from ragraph_tpu.ops.similarity import l2_normalize
             keys_n = l2_normalize(self.resource_keys)

@@ -90,11 +90,11 @@ def test_edge_dataset_table():
     am = EDGE_DATASET_CONFIGS["amazon"]
     assert am["retrieve_weight"] == 0.3
     assert am["vanilla"]["retrieve_num"] == 50
-    assert am["vanilla"]["batch_size"] == 32768
+    assert am["vanilla"]["rag_chunk"] == 32768
     assert am["finetune"]["retrieve_num"] == 10
     for name in ("koubei", "taobao"):
         d = EDGE_DATASET_CONFIGS[name]
         assert d["vanilla"]["retrieve_num"] == 100000
-        assert d["vanilla"]["batch_size"] == 512
+        assert d["vanilla"]["rag_chunk"] == 512
         assert d["finetune"]["retrieve_num"] == 20
         assert d["vanilla"]["num_augment_scale"] == 1
