@@ -57,9 +57,11 @@ class EdgeModelConfig:
     use_noise: bool = False
     lora_rank: int = 16
     use_lora: bool = True
-    # segment-reduction implementation: "scatter" (XLA) or "sorted"
-    # (Pallas prefix-sum, TPU only, needs receiver-sorted edges)
-    segsum_impl: str = "scatter"
+    # segment-reduction implementation: "auto" picks the Pallas sorted
+    # prefix-sum kernel whenever it applies (TPU + receiver-sorted edges;
+    # measured 2x op / 14% step win), else XLA scatter-add. "scatter" /
+    # "sorted" force a backend.
+    segsum_impl: str = "auto"
     # plugin knobs (``parse_args.py:49-63``)
     temp: float = 0.2        # SGL InfoNCE temperature
     lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)

@@ -117,17 +117,18 @@ class DynamicBase(TemporalLightGCN):
     def _gate(self, params, all_emb, key, training):
         return all_emb
 
-    def _plain_layers(self, params, edge_mask, all_emb):
-        g = self.graph
+    def _plain_layers(self, params, edge_mask, all_emb, graph=None):
+        g = self.graph if graph is None else graph
         weights = g.edge_norm
         if edge_mask is not None:
             weights = jnp.where(edge_mask, weights, 0.0)
         return lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
                                   g.num_nodes, self.cfg.num_layers)
 
-    def _bpr_step(self, params, batch, key, forward_fn):
+    def _bpr_step(self, params, batch, key, forward_fn, graph=None):
+        g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
-        mask = edge_drop_mask(key, self.graph.num_edges,
+        mask = edge_drop_mask(key, g.num_edges,
                               1.0 - self.cfg.edge_dropout)
         user_emb, item_emb = forward_fn(params, edge_mask=mask)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
@@ -158,19 +159,20 @@ class Roland(DynamicBase):
         self.meta_layers = [jax.lax.stop_gradient(m) for m in meta_layers]
 
     def forward_lgn(self, params, *, edge_mask=None, return_layers=False,
-                    **_):
+                    graph=None, **_):
+        g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
-        layers = self._plain_layers(params, edge_mask, all_emb)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
         if return_layers:
             return layers
         res = sum(layers)
-        return res[: self.graph.num_users], res[self.graph.num_users:]
+        return res[: g.num_users], res[g.num_users:]
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                **_):
+                graph=None, **_):
         assert self.meta_layers is not None, "call set_meta_layers first"
-        g = self.graph
+        g = self.graph if graph is None else graph
         weights = g.edge_norm
         if edge_mask is not None:
             weights = jnp.where(edge_mask, weights, 0.0)
@@ -187,10 +189,11 @@ class Roland(DynamicBase):
         res = sum(layers)
         return res[: g.num_users], res[g.num_users:]
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
+                                              graph=graph), graph=graph)
 
 
 class EvolveGCNH(DynamicBase):
@@ -212,19 +215,21 @@ class EvolveGCNH(DynamicBase):
         self.last_emb = jax.lax.stop_gradient(last_emb)
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                **_):
+                graph=None, **_):
         assert self.last_emb is not None, "call set_last_emb first"
+        g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
         all_emb = gru_cell(params["gru"], all_emb, self.last_emb)
-        layers = self._plain_layers(params, edge_mask, all_emb)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
         res = sum(layers)
-        return res[: self.graph.num_users], res[self.graph.num_users:]
+        return res[: g.num_users], res[g.num_users:]
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
+                                              graph=graph), graph=graph)
 
 
 class EvolveGCNO(DynamicBase):
@@ -239,15 +244,17 @@ class EvolveGCNO(DynamicBase):
         return params
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                **_):
+                graph=None, **_):
+        g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
         all_emb = gru_cell(params["gru"], all_emb, all_emb)
-        layers = self._plain_layers(params, edge_mask, all_emb)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
         res = sum(layers)
-        return res[: self.graph.num_users], res[self.graph.num_users:]
+        return res[: g.num_users], res[g.num_users:]
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask))
+            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
+                                              graph=graph), graph=graph)

@@ -50,8 +50,9 @@ class GraphPromptEdge(TemporalLightGCN):
         return params
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                **_):
-        g, cfg = self.graph, self.cfg
+                graph=None, **_):
+        g = self.graph if graph is None else graph
+        cfg = self.cfg
         weights = g.edge_norm
         if edge_mask is not None:
             weights = jnp.where(edge_mask, weights, 0.0)
@@ -73,11 +74,12 @@ class GraphPromptEdge(TemporalLightGCN):
         res = sum(layers)
         return res[: g.num_users], res[g.num_users:]
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
+        g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
-        mask = edge_drop_mask(key, self.graph.num_edges,
+        mask = edge_drop_mask(key, g.num_edges,
                               1.0 - self.cfg.edge_dropout)
-        user_emb, item_emb = self.forward(params, edge_mask=mask)
+        user_emb, item_emb = self.forward(params, edge_mask=mask, graph=g)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         reg = self.cfg.weight_decay * reg_loss_emb(
@@ -112,10 +114,11 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
             return u, it
 
         def _propagated(self, params, key, training, edge_mask,
-                        return_layers=False, perturb_key=None):
+                        return_layers=False, perturb_key=None, graph=None):
             layers = super()._propagated(params, key, training, edge_mask,
                                          return_layers=True,
-                                         perturb_key=perturb_key)
+                                         perturb_key=perturb_key,
+                                         graph=graph)
             if prompt_mode == "graphprompt":
                 # message·prompt each hop ≡ layer_ℓ · prompt^ℓ (the
                 # elementwise scale commutes with the linear segment-sum)

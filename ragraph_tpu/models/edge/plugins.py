@@ -65,8 +65,9 @@ class PluginBase(TemporalLightGCN):
         return h
 
     def _propagated(self, params, key, training, edge_mask,
-                    return_layers=False, perturb_key=None):
-        g, cfg = self.graph, self.cfg
+                    return_layers=False, perturb_key=None, graph=None):
+        g = self.graph if graph is None else graph
+        cfg = self.cfg
         weights = g.edge_norm
         if edge_mask is not None:
             weights = jnp.where(edge_mask, weights, 0.0)
@@ -108,23 +109,26 @@ class PluginBase(TemporalLightGCN):
         return sum(layers)
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                max_time_step=None, perturb_key=None):
+                max_time_step=None, perturb_key=None, graph=None,
+                resources=None):
+        g = self.graph if graph is None else graph
         res = self._propagated(params, key, training, edge_mask,
-                               perturb_key=perturb_key)
-        return res[: self.graph.num_users], res[self.graph.num_users:]
+                               perturb_key=perturb_key, graph=g)
+        return res[: g.num_users], res[g.num_users:]
 
 
 class SGLPlugin(PluginBase):
     """SGL: edge-drop contrastive views on top of BPR."""
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         users, pos_items, neg_items = batch
-        cfg, g = self.cfg, self.graph
+        cfg = self.cfg
+        g = self.graph if graph is None else graph
         k_drop, k_fwd, k_v1, k_v2, k_cl = jax.random.split(key, 5)
         mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
 
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
-                                          edge_mask=mask)
+                                          edge_mask=mask, graph=g)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         u_t, i_t = self._effective_tables(params, None, False)
@@ -134,8 +138,10 @@ class SGLPlugin(PluginBase):
         # two extra 0.9-keep subsamples of the surviving edges (SGL.py:96-97)
         m1 = mask & edge_drop_mask(k_v1, g.num_edges, 0.9)
         m2 = mask & edge_drop_mask(k_v2, g.num_edges, 0.9)
-        u1, i1 = self.forward(params, key=k_fwd, training=True, edge_mask=m1)
-        u2, i2 = self.forward(params, key=k_fwd, training=True, edge_mask=m2)
+        u1, i1 = self.forward(params, key=k_fwd, training=True, edge_mask=m1,
+                              graph=g)
+        u2, i2 = self.forward(params, key=k_fwd, training=True, edge_mask=m2,
+                              graph=g)
 
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
@@ -151,9 +157,10 @@ class SGLPlugin(PluginBase):
 class SimGCLPlugin(PluginBase):
     """SimGCL: embedding-perturbation contrastive (no BPR term)."""
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         users, pos_items, neg_items = batch
-        cfg, g = self.cfg, self.graph
+        cfg = self.cfg
+        g = self.graph if graph is None else graph
         k_drop, k_fwd, k_p1, k_p2 = jax.random.split(key, 4)
         # fixed 0.5 keep rate (SimGCL.py:74)
         mask = edge_drop_mask(k_drop, g.num_edges, 0.5)
@@ -163,9 +170,9 @@ class SimGCLPlugin(PluginBase):
                                               neg_items)
 
         uv1, iv1 = self.forward(params, key=k_fwd, training=True,
-                                edge_mask=mask, perturb_key=k_p1)
+                                edge_mask=mask, perturb_key=k_p1, graph=g)
         uv2, iv2 = self.forward(params, key=k_fwd, training=True,
-                                edge_mask=mask, perturb_key=k_p2)
+                                edge_mask=mask, perturb_key=k_p2, graph=g)
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
         cl = cfg.lbd * (cal_infonce(uv1[uu], uv2[uu], 0.2, mask=um)
@@ -197,15 +204,16 @@ class MixGCFPlugin(PluginBase):
             mixed, hard[:, None, :, None], axis=1)[:, 0]   # (B, L+1, E)
         return picked
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         """``batch`` = (users, pos_items, neg_candidates (B, n_negs))."""
         users, pos_items, neg_candidates = batch
-        cfg, g = self.cfg, self.graph
+        cfg = self.cfg
+        g = self.graph if graph is None else graph
         k_drop, k_fwd, k_mix = jax.random.split(key, 3)
         mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
 
         layers = self._propagated(params, k_fwd, True, mask,
-                                  return_layers=True)
+                                  return_layers=True, graph=g)
         stacked = jnp.stack(layers, axis=1)            # (N, L+1, E)
         user_layers = stacked[: g.num_users]
         item_layers = stacked[g.num_users:]

@@ -66,7 +66,14 @@ EDGE_DATASET_CONFIGS = {
 
 @dataclasses.dataclass
 class EdgeGraphArrays:
-    """Device copies of the bidirectional interaction graph."""
+    """Device copies of the bidirectional interaction graph.
+
+    Registered as a JAX pytree (array fields traced, user/item counts
+    static) so it can be passed *as a jit argument*: one compiled train
+    step then serves any graph of the same shape instead of baking the
+    edge arrays into the executable as multi-GB constants (the reference
+    analog re-gathers per step, ``modules/RAGraph.py:232-240``).
+    """
 
     senders: jax.Array
     receivers: jax.Array
@@ -96,6 +103,13 @@ class EdgeGraphArrays:
         return int(self.senders.shape[0])
 
 
+jax.tree_util.register_dataclass(
+    EdgeGraphArrays,
+    data_fields=["senders", "receivers", "edge_norm", "edge_times",
+                 "recv_indptr"],
+    meta_fields=["num_users", "num_items"])
+
+
 class TemporalLightGCN:
     """Shared engine for LightGCN / GraphPro / RAGraph-edge.
 
@@ -114,12 +128,21 @@ class TemporalLightGCN:
         self.resource_keys = None   # (R, E) buffers, not parameters
         self.resource_values = None
 
-    def _segsum_impl(self) -> str:
-        """Pallas sorted reduction only on TPU (Mosaic-compiled)."""
+    def _segsum_impl(self, graph: EdgeGraphArrays | None = None) -> str:
+        """Pick the segment-reduction backend.
+
+        ``"auto"`` (default) selects the Pallas sorted prefix-sum reduction
+        whenever it applies — TPU backend + receiver-sorted edges (measured
+        2x on the op / 14% on the amazon-scale train step, STATUS.md) —
+        and falls back to XLA scatter-add otherwise. ``"scatter"`` forces
+        the fallback, ``"sorted"`` forces the kernel (still TPU-gated:
+        Mosaic-compiled only).
+        """
+        g = self.graph if graph is None else graph
         import jax as _jax
-        if (self.cfg.segsum_impl == "sorted"
+        if (self.cfg.segsum_impl in ("sorted", "auto")
                 and _jax.default_backend() == "tpu"
-                and self.graph.recv_indptr is not None):
+                and g.recv_indptr is not None):
             return "sorted"
         return "scatter"
 
@@ -177,9 +200,17 @@ class TemporalLightGCN:
         return all_emb
 
     def forward(self, params, *, key=None, training: bool = False,
-                edge_mask=None, max_time_step=None):
-        """Returns ``(user_emb, item_emb)``."""
-        g, cfg = self.graph, self.cfg
+                edge_mask=None, max_time_step=None, graph=None,
+                resources=None):
+        """Returns ``(user_emb, item_emb)``.
+
+        ``graph`` / ``resources`` override the instance buffers so jitted
+        callers can pass them as *arguments* (traced pytrees) instead of
+        closure-captured constants — required at 100M-edge scale where
+        baked-in constants stall compilation and duplicate HBM.
+        """
+        g = self.graph if graph is None else graph
+        cfg = self.cfg
         weights = g.edge_norm
         if edge_mask is not None:
             weights = jnp.where(edge_mask, weights, 0.0)
@@ -196,16 +227,20 @@ class TemporalLightGCN:
         layers = lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
                                     g.num_nodes, cfg.num_layers,
                                     recv_indptr=g.recv_indptr,
-                                    impl=self._segsum_impl())
+                                    impl=self._segsum_impl(g))
         res_emb = sum(layers)
 
+        res_src = (resources if resources is not None
+                   else (self.resource_keys, self.resource_values))
         if self.use_rag and self.phase in ("vanilla", "finetune") \
-                and self.resource_keys is not None:
-            res_emb = self._fuse_rag(layers[0], res_emb, key, training)
+                and res_src[0] is not None:
+            res_emb = self._fuse_rag(layers[0], res_emb, key, training,
+                                     resources=res_src)
 
         return res_emb[: g.num_users], res_emb[g.num_users:]
 
-    def _fuse_rag(self, query_emb, res_emb, key, training: bool):
+    def _fuse_rag(self, query_emb, res_emb, key, training: bool,
+                  resources=None):
         """Cosine top-k over the resource library + 50/50-style fusion
         (``modules/RAGraph.py:286-328``).
 
@@ -215,14 +250,17 @@ class TemporalLightGCN:
         would be ~230 GB.
         """
         cfg = self.cfg
+        res_keys, res_values = (resources if resources is not None
+                                else (self.resource_keys,
+                                      self.resource_values))
         add_noise = cfg.use_noise and training and self.phase == "finetune"
         k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
-        k = min(k, self.resource_keys.shape[0])
+        k = min(k, res_keys.shape[0])
         qn = query_emb.shape[0]
         chunk = min(cfg.rag_chunk or cfg.batch_size, qn)
         if qn > chunk:
             from ragraph_tpu.ops.similarity import l2_normalize
-            keys_n = l2_normalize(self.resource_keys)
+            keys_n = l2_normalize(res_keys)
             pad = (-qn) % chunk
             q_pad = jnp.pad(query_emb, ((0, pad), (0, 0)))
             chunks = q_pad.reshape(-1, chunk, query_emb.shape[1])
@@ -231,15 +269,15 @@ class TemporalLightGCN:
                                        keys_normalized=True)[1],
                 chunks).reshape(-1, k)[:qn]
         else:
-            _, idx = cosine_topk(query_emb, self.resource_keys, k)
-        rag = topk_gather(self.resource_values, idx)         # (N, k, E)
+            _, idx = cosine_topk(query_emb, res_keys, k)
+        rag = topk_gather(res_values, idx)                   # (N, k, E)
         if add_noise:
             nk = jax.random.fold_in(key, 7)
             noise_idx = jax.random.randint(
                 nk, (query_emb.shape[0], cfg.noise_retrieve_num),
-                0, self.resource_values.shape[0])
+                0, res_values.shape[0])
             rag = jnp.concatenate(
-                [rag, topk_gather(self.resource_values, noise_idx)], axis=1)
+                [rag, topk_gather(res_values, noise_idx)], axis=1)
         rag_emb = rag.mean(axis=1)
         return (1.0 - cfg.retrieve_weight) * res_emb \
             + cfg.retrieve_weight * rag_emb
@@ -247,18 +285,20 @@ class TemporalLightGCN:
     # -- resource graph (library) ------------------------------------------
 
     def make_resource_graph(self, pretrained_user_emb, pretrained_item_emb,
-                            key: jax.Array):
+                            key: jax.Array, graph=None):
         """Build the retrieval library from pretrained embeddings
         (``modules/RAGraph.py:185-230``): keys = last propagation layer,
         values = sum of even ('dual-hop') layers; optional inverse sampling
-        + feature-space augmentation."""
-        g, cfg = self.graph, self.cfg
+        + feature-space augmentation. Sets the instance buffers and returns
+        ``(keys, values)`` for argument-passing callers."""
+        g = self.graph if graph is None else graph
+        cfg = self.cfg
         all_emb = jnp.concatenate([pretrained_user_emb, pretrained_item_emb],
                                   axis=0)
         layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
                                     g.edge_norm, g.num_nodes, cfg.num_layers,
                                     recv_indptr=g.recv_indptr,
-                                    impl=self._segsum_impl())
+                                    impl=self._segsum_impl(g))
         keys_base = layers[-1]
         values_base = sum(layers[0::2])
 
@@ -286,17 +326,20 @@ class TemporalLightGCN:
 
         self.resource_keys = jnp.concatenate(all_keys, axis=0)
         self.resource_values = jnp.concatenate(all_values, axis=0)
+        return self.resource_keys, self.resource_values
 
     # -- loss / eval -------------------------------------------------------
 
-    def cal_loss(self, params, batch, key):
+    def cal_loss(self, params, batch, key, graph=None, resources=None):
         """BPR + weight-decay L2 (``modules/RAGraph.py:335-355``)."""
+        g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
         k_drop, k_fwd = jax.random.split(key)
-        mask = edge_drop_mask(k_drop, self.graph.num_edges,
+        mask = edge_drop_mask(k_drop, g.num_edges,
                               1.0 - self.cfg.edge_dropout)
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
-                                          edge_mask=mask)
+                                          edge_mask=mask, graph=g,
+                                          resources=resources)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         u_t, i_t = self._effective_tables(params, None, False)
@@ -304,10 +347,12 @@ class TemporalLightGCN:
                                                    pos_items, neg_items)
         return rec + reg, {"rec_loss": rec, "reg_loss": reg}
 
-    def generate(self, params, key=None, max_time_step=None):
+    def generate(self, params, key=None, max_time_step=None, graph=None,
+                 resources=None):
         """Full-graph embeddings, no dropout (``:357-359``)."""
         return self.forward(params, key=key, training=False,
-                            max_time_step=max_time_step)
+                            max_time_step=max_time_step, graph=graph,
+                            resources=resources)
 
     @staticmethod
     def rating(user_emb, item_emb):

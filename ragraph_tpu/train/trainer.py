@@ -45,12 +45,20 @@ class EdgeTrainer:
             eval_batch_size=self.cfg.eval_batch_size)
 
     def _make_step(self, optimizer):
+        """One jitted (loss, grad, update) step.
+
+        The graph arrays and the retrieval library enter as *jit arguments*
+        (pytrees), not closure captures — the compiled executable carries
+        no multi-GB graph constants and serves any same-shape graph (e.g.
+        successive temporal stages) without recompiling.
+        """
         model = self.model
 
         @jax.jit
-        def step(params, opt_state, users, pos, neg, key):
+        def step(params, opt_state, users, pos, neg, key, graph, resources):
             def loss_fn(p):
-                loss, aux = model.cal_loss(p, (users, pos, neg), key)
+                loss, aux = model.cal_loss(p, (users, pos, neg), key,
+                                           graph=graph, resources=resources)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -60,6 +68,14 @@ class EdgeTrainer:
             return params, opt_state, loss, aux
 
         return step
+
+    def _graph_and_resources(self):
+        model = self.model
+        resources = None
+        if getattr(model, "use_rag", False) \
+                and model.resource_keys is not None:
+            resources = (model.resource_keys, model.resource_values)
+        return model.graph, resources
 
     def train(self, params, key: jax.Array, num_epochs: int | None = None,
               rng: np.random.Generator | None = None,
@@ -84,6 +100,7 @@ class EdgeTrainer:
         optimizer = optax.adam(cfg.lr)
         opt_state = optimizer.init(params)
         step = self._make_step(optimizer)
+        graph_arg, resources_arg = self._graph_and_resources()
 
         best = {"recall": np.zeros(len(cfg.metrics_k)),
                 "ndcg": np.zeros(len(cfg.metrics_k))}
@@ -114,7 +131,7 @@ class EdgeTrainer:
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
                 params, opt_state, loss, _ = step(
                     params, opt_state, jnp.asarray(users), jnp.asarray(pos),
-                    jnp.asarray(neg), k)
+                    jnp.asarray(neg), k, graph_arg, resources_arg)
                 # device scalars collected, synced once per epoch: a
                 # per-step float() would add a host roundtrip per batch
                 losses.append(loss)

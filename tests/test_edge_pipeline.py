@@ -303,3 +303,83 @@ def test_recommend_serving_path(stream):
         hist_rows=jnp.asarray([0]), hist_cols=jnp.asarray([0]))
     assert items.shape == (4, 5)
     assert 0 not in np.asarray(items[0])  # masked
+
+
+def test_graph_as_jit_argument_no_recompile(stream):
+    """One compiled step serves two different graphs of the same shape
+    (VERDICT r1 #3): EdgeGraphArrays is a pytree jit argument, not a baked
+    closure constant."""
+    import optax
+    from ragraph_tpu.models.edge import RAGraphEdge
+
+    train, stages = stream
+    test = [(u, i) for (u, i, _) in stages[0]]
+    ds_a = load_edge_dataset(train, test)
+    # second graph: same user/item universe and edge count, edges shifted
+    shifted = [(u, (i + 1) % ds_a.num_items, t) for (u, i, t) in train]
+    ds_b = load_edge_dataset(shifted, test, num_users=ds_a.num_users,
+                             num_items=ds_a.num_items)
+    g_a = EdgeGraphArrays.from_dataset(ds_a)
+    g_b = EdgeGraphArrays.from_dataset(ds_b)
+    assert g_a.senders.shape == g_b.senders.shape
+
+    cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=64,
+                          retrieve_num=3, edge_dropout=0.0)
+    model = RAGraphEdge(cfg, g_a, phase="pretrain")
+    params = model.init_params(jr.key(0))
+
+    opt = optax.adam(1e-3)
+    trainer = EdgeTrainer(model, ds_a, logger=lambda *_: None)
+    step = trainer._make_step(opt)
+    opt_state = opt.init(params)
+
+    users = jnp.arange(16, dtype=jnp.int32)
+    pos = jnp.arange(16, dtype=jnp.int32)
+    neg = jnp.arange(16, 32, dtype=jnp.int32)
+
+    _, _, loss_a, _ = step(params, opt_state, users, pos, neg, jr.key(1),
+                           g_a, None)
+    _, _, loss_b, _ = step(params, opt_state, users, pos, neg, jr.key(1),
+                           g_b, None)
+    assert step._cache_size() == 1  # no recompile for the second graph
+    assert float(loss_a) != float(loss_b)  # and the graph actually matters
+
+    # correctness: the argument-passed graph gives the same loss as a
+    # model constructed with that graph (closure path)
+    model_b = RAGraphEdge(cfg, g_b, phase="pretrain")
+    loss_ref, _ = model_b.cal_loss(params, (users, pos, neg), jr.key(1))
+    loss_arg, _ = model.cal_loss(params, (users, pos, neg), jr.key(1),
+                                 graph=g_b)
+    np.testing.assert_allclose(float(loss_arg), float(loss_ref), rtol=1e-6)
+
+
+def test_resources_as_jit_argument(stream):
+    """The retrieval library also passes as a jit argument in the RAG
+    phases."""
+    from ragraph_tpu.models.edge import RAGraphEdge
+
+    train, stages = stream
+    ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+    g = EdgeGraphArrays.from_dataset(ds)
+    cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=64,
+                          retrieve_num=3, edge_dropout=0.0, use_lora=False)
+    pre = GraphPro(cfg, g, phase="pretrain")
+    pre_params = pre.init_params(jr.key(0))
+    u_emb, i_emb = pre.generate(pre_params)
+
+    model = RAGraphEdge(cfg, g, phase="vanilla")
+    keys, values = model.make_resource_graph(u_emb, i_emb, jr.key(2))
+    params = model.init_params(jr.key(3), pretrained_tables=(u_emb, i_emb))
+
+    # closure path vs argument path agree
+    u1, i1 = model.generate(params)
+    model.resource_keys = model.resource_values = None
+    u2, i2 = model.generate(params, resources=(keys, values))
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-6)
+
+    # and two different libraries through ONE jitted forward
+    fwd = jax.jit(lambda p, res: model.generate(p, resources=res))
+    out_a = fwd(params, (keys, values))
+    out_b = fwd(params, (keys, values * 2.0))
+    assert fwd._cache_size() == 1
+    assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
