@@ -34,8 +34,9 @@ def build_parser():
                    help="adversarial noise-retrieval fine-tuning")
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--pretrain-loss", default="lp",
-                   choices=["lp", "dgi", "graphcl", "lp+dgi", "lp+graphcl"],
-                   help="pretraining objective(s); the reference's live "
+                   help="'+'-joined objectives: lp, dgi, graphcl[:FLAVOR] "
+                        "with FLAVOR in {edge,mask,node,subgraph} "
+                        "(models/graphcl.py:29-41); the reference's live "
                         "loss is lp (RAGraph_node/preprompt.py:50-55)")
     p.add_argument("--encoder-layers", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=16)
@@ -85,31 +86,33 @@ def run_pretrain(args):
     opt_state = opt.init(params)
 
     from ragraph_tpu.models.preprompt import corrupt_features
-    from ragraph_tpu.rag import aug_random_edge
+    from ragraph_tpu.rag import make_graphcl_views
     terms = args.pretrain_loss.split("+")
+    # "graphcl" == "graphcl:edge"; flavors: edge / mask / node / subgraph
+    # (GraphCL.forward input wiring, models/graphcl.py:21-41)
+    graphcl_flavors = [t.split(":", 1)[1] if ":" in t else "edge"
+                       for t in terms if t.startswith("graphcl")]
 
     @jax.jit
     def step(params, opt_state, feats, adj, tuples, mask, key):
-        k_drop, k_shuf, k_a1, k_a2 = jax.random.split(key, 4)
+        k_drop, k_shuf, k_aug = jax.random.split(key, 3)
 
         def loss_fn(p):
             total = 0.0
             if "lp" in terms:
                 total += model.apply(p, feats, adj, tuples, mask,
                                      rngs={"dropout": k_drop})
-            if "dgi" in terms or "graphcl" in terms:
+            if "dgi" in terms or graphcl_flavors:
                 shuf = corrupt_features(k_shuf, feats, mask)
             if "dgi" in terms:
                 total += model.apply(p, feats, shuf, adj, mask,
                                      method=model.dgi_loss)
-            if "graphcl" in terms:
-                from ragraph_tpu.core.graph import normalize_adj_dense
-                a1 = normalize_adj_dense(
-                    aug_random_edge(k_a1, adj, 0.2, mask), mask)
-                a2 = normalize_adj_dense(
-                    aug_random_edge(k_a2, adj, 0.2, mask), mask)
-                total += model.apply(p, feats, shuf, adj, a1, a2, mask,
-                                     method=model.graphcl_loss)
+            for fi, flavor in enumerate(graphcl_flavors):
+                v1, v2 = make_graphcl_views(
+                    jax.random.fold_in(k_aug, fi), flavor, feats, adj, mask)
+                total += model.apply(p, feats, shuf, adj, v1, v2, mask,
+                                     flavor=flavor,
+                                     method=model.graphcl_flavor_loss)
             return total
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -108,6 +108,30 @@ class PrePrompt(fnn.Module):
         h_a2 = self.gcn(features, aug_adj2, node_mask)
         return self.graphcl_edge(h_0, h_2, h_a1, h_a2, node_mask)
 
+    def graphcl_flavor_loss(self, features, shuf_features, adj,
+                            view1, view2, node_mask=None, *,
+                            flavor: str = "edge"):
+        """GraphCL loss for any aug flavor (edge / mask / node / subgraph).
+
+        ``view1``/``view2`` are ``(features, adj, mask)`` triples from
+        :func:`ragraph_tpu.rag.make_graphcl_views`; the head wiring per
+        flavor matches ``GraphCL.forward``
+        (``RAGraph_node/models/graphcl.py:21-41``). Flavors ``edge`` /
+        ``node`` / ``subgraph`` share the ``graphcledge`` head and ``mask``
+        uses ``graphclmask``, mirroring the two head instances the
+        reference constructs (``preprompt.py:33-34``).
+        """
+        h_0 = self.gcn(features, adj, node_mask)
+        h_2 = self.gcn(shuf_features, adj, node_mask)
+        f1, a1, m1 = view1
+        f2, a2, m2 = view2
+        h_a1 = self.gcn(f1, a1, m1)
+        h_a2 = self.gcn(f2, a2, m2)
+        head = self.graphcl_mask if flavor == "mask" else self.graphcl_edge
+        logits = head(h_0, h_2, h_a1, h_a2, node_mask,
+                      view_masks=(m1, m2))
+        return _masked_bce(logits, node_mask)
+
     def init_all(self, features, adj, tuples, node_mask=None):
         """Touch every head so all parameters materialize at init (flax
         only creates params for called submodules; the reference keeps
@@ -116,6 +140,10 @@ class PrePrompt(fnn.Module):
         _ = self.dgi_loss_logits(features, features, adj, node_mask)
         _ = self.graphcl_loss_logits(features, features, adj, adj, adj,
                                      node_mask)
+        _ = self.graphcl_flavor_loss(features, features, adj,
+                                     (features, adj, node_mask),
+                                     (features, adj, node_mask),
+                                     node_mask, flavor="mask")
         return loss
 
     def dgi_loss(self, features, shuf_features, adj, node_mask=None):

@@ -80,18 +80,27 @@ class DGIHead(fnn.Module):
 
 
 class GraphCLHead(fnn.Module):
-    """GraphCL head: two augmented views scored against clean/corrupted."""
+    """GraphCL head: two augmented views scored against clean/corrupted.
+
+    ``view_masks`` (optional pair) are the per-view node masks — node/
+    subgraph augmentations shrink the graph, so their readout summaries
+    must pool over the surviving nodes only (the reference's views are
+    physically smaller tensors, ``models/graphcl.py:36-49``).
+    """
 
     hidden: int
 
     @fnn.compact
-    def __call__(self, h_0, h_2, h_aug1, h_aug2, node_mask=None):
+    def __call__(self, h_0, h_2, h_aug1, h_aug2, node_mask=None,
+                 view_masks=None):
         prompt = self.param("prompt", xavier_uniform, (1, self.hidden))
         disc = BilinearDiscriminator(self.hidden)
+        m1, m2 = view_masks if view_masks is not None \
+            else (node_mask, node_mask)
         h_00 = h_0 * prompt
         h_22 = h_2 * prompt
-        c_1 = jax.nn.sigmoid(avg_readout(h_aug1 * prompt, node_mask))
-        c_3 = jax.nn.sigmoid(avg_readout(h_aug2 * prompt, node_mask))
+        c_1 = jax.nn.sigmoid(avg_readout(h_aug1 * prompt, m1))
+        c_3 = jax.nn.sigmoid(avg_readout(h_aug2 * prompt, m2))
         return disc(c_1, h_00, h_22) + disc(c_3, h_00, h_22)
 
 

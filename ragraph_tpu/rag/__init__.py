@@ -7,6 +7,7 @@ from ragraph_tpu.rag.augmentation import (  # noqa: F401
 )
 from ragraph_tpu.rag.pretrain_aug import (  # noqa: F401
     aug_random_mask, aug_random_edge, aug_drop_node, aug_subgraph,
+    make_graphcl_views,
 )
 from ragraph_tpu.rag.fewshot import (  # noqa: F401
     FewShotBase, fewshot_mean_logits, fewshot_predict_logits,

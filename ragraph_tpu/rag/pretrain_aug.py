@@ -121,3 +121,52 @@ def aug_subgraph(key: jax.Array, features: jax.Array, adj: jax.Array,
     f = features * member[:, None].astype(features.dtype)
     m = member.astype(adj.dtype)
     return f, adj * m[:, None] * m[None, :], member
+
+
+def make_graphcl_views(key: jax.Array, flavor: str, features: jax.Array,
+                       adj: jax.Array, node_mask: jax.Array | None = None,
+                       drop_percent: float = 0.2, normalize: bool = True):
+    """Two augmented (features, adj, mask) views for a GraphCL flavor.
+
+    Input wiring matches ``GraphCL.forward``
+    (``RAGraph_node/models/graphcl.py:21-41``):
+
+    - ``edge``:     clean features, two edge-rewritten adjacencies;
+    - ``mask``:     two feature-masked views, clean adjacency;
+    - ``node``:     two node-dropped views (features *and* adjacency);
+    - ``subgraph``: two random-walk induced subgraphs.
+
+    ``normalize=True`` re-normalizes any adjacency the augmentation
+    changed (the reference normalizes augmented adjacencies before the
+    GCN, ``pretrain.py:108-112``).
+    """
+    from ragraph_tpu.core.graph import normalize_adj_dense
+
+    k1, k2 = jax.random.split(key)
+    norm = (lambda a, m: normalize_adj_dense(a, m, add_self_loops=True)) \
+        if normalize else (lambda a, m: a)
+
+    if flavor == "edge":
+        a1 = norm(aug_random_edge(k1, adj, drop_percent, node_mask),
+                  node_mask)
+        a2 = norm(aug_random_edge(k2, adj, drop_percent, node_mask),
+                  node_mask)
+        return (features, a1, node_mask), (features, a2, node_mask)
+    if flavor == "mask":
+        f1 = aug_random_mask(k1, features, drop_percent, node_mask)
+        f2 = aug_random_mask(k2, features, drop_percent, node_mask)
+        a = norm(adj, node_mask)
+        return (f1, a, node_mask), (f2, a, node_mask)
+    if flavor == "node":
+        f1, a1, m1 = aug_drop_node(k1, features, adj, drop_percent,
+                                   node_mask)
+        f2, a2, m2 = aug_drop_node(k2, features, adj, drop_percent,
+                                   node_mask)
+        return (f1, norm(a1, m1), m1), (f2, norm(a2, m2), m2)
+    if flavor == "subgraph":
+        f1, a1, m1 = aug_subgraph(k1, features, adj, drop_percent,
+                                  node_mask)
+        f2, a2, m2 = aug_subgraph(k2, features, adj, drop_percent,
+                                  node_mask)
+        return (f1, norm(a1, m1), m1), (f2, norm(a2, m2), m2)
+    raise ValueError(f"unknown GraphCL flavor: {flavor!r}")

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ragraph_tpu.models.preprompt import (PrePrompt, prompt_pretrain_sample,
                                           subgraph3_mean)
@@ -244,3 +245,81 @@ class TestOptionalPretrainLosses:
                                            method=model.dgi_loss))(params)
         pnorm = float(jnp.abs(g["params"]["dgi"]["prompt"]).sum())
         assert pnorm > 0
+
+
+class TestGraphCLFlavors:
+    """All four GraphCL aug flavors wired into trainable losses
+    (GraphCL.forward input wiring, models/graphcl.py:21-41)."""
+
+    @pytest.mark.parametrize("flavor", ["edge", "mask", "node", "subgraph"])
+    def test_loss_decreases(self, flavor):
+        import optax
+        from ragraph_tpu.models.preprompt import corrupt_features
+        from ragraph_tpu.rag import make_graphcl_views
+
+        rng = np.random.default_rng(21)
+        n, f = 16, 6
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        raw = random_adj(rng, n)
+        adj = jnp.asarray(raw + np.eye(n, dtype=np.float32))
+        mask = jnp.asarray([True] * 14 + [False] * 2)
+
+        model = PrePrompt(hidden=8, num_layers=1)
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            x, adj, jnp.zeros((n, 3), jnp.int32), mask,
+                            method=model.init_all)
+        opt = optax.adam(5e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            k_shuf, k_aug = jax.random.split(key)
+
+            def loss_fn(p):
+                shuf = corrupt_features(k_shuf, x, mask)
+                v1, v2 = make_graphcl_views(k_aug, flavor, x, adj, mask)
+                return model.apply(p, x, shuf, adj, v1, v2, mask,
+                                   flavor=flavor,
+                                   method=model.graphcl_flavor_loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for i in range(30):
+            params, opt_state, loss = step(params, opt_state,
+                                           jax.random.key(100 + i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_mask_flavor_uses_its_own_head(self):
+        """'mask' routes through the graphclmask head, others through
+        graphcledge (preprompt.py:33-34 keeps two head instances)."""
+        from ragraph_tpu.rag import make_graphcl_views
+        rng = np.random.default_rng(22)
+        n, f = 10, 4
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        adj = jnp.asarray(random_adj(rng, n) + np.eye(n, dtype=np.float32))
+        model = PrePrompt(hidden=8, num_layers=1)
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            x, adj, jnp.zeros((n, 3), jnp.int32),
+                            method=model.init_all)
+        assert "graphcl_mask" in params["params"]
+
+        def head_grad(flavor, head_name):
+            def loss(p):
+                v1, v2 = make_graphcl_views(jax.random.key(3), flavor, x,
+                                            adj)
+                return model.apply(p, x, x, adj, v1, v2, flavor=flavor,
+                                   method=model.graphcl_flavor_loss)
+            g = jax.grad(loss)(params)
+            return float(jnp.abs(g["params"][head_name]["prompt"]).sum())
+
+        assert head_grad("mask", "graphcl_mask") > 0
+        assert head_grad("mask", "graphcl_edge") == 0
+        assert head_grad("node", "graphcl_edge") > 0
+        assert head_grad("node", "graphcl_mask") == 0
