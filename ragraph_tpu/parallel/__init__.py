@@ -3,3 +3,6 @@ from ragraph_tpu.parallel.sharded_index import (  # noqa: F401
     sharded_cosine_topk, sharded_gather_rows, sharded_retrieve,
 )
 from ragraph_tpu.parallel.dp import make_dp_train_step, shard_batch  # noqa: F401
+from ragraph_tpu.parallel.sharded_library import (  # noqa: F401
+    build_sharded_library, sharded_library_append, sharded_library_init,
+)

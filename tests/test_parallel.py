@@ -157,6 +157,102 @@ class TestShardedEdgeTraining:
                                    atol=1e-5)
 
 
+class TestShardedLibraryBuild:
+    """The library *build/append* path on a row-sharded store must match
+    the single-device store row-for-row (VERDICT r1 item 4)."""
+
+    @staticmethod
+    def _entry_batch(rng, n, e, c, a, n_valid=None):
+        valid = jnp.arange(n) < (n if n_valid is None else n_valid)
+        return (jnp.asarray(rng.normal(size=(n, e)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(n, e)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(n, a)).astype(np.float32)),
+                valid)
+
+    def test_append_matches_single_device(self, mesh8):
+        from ragraph_tpu.parallel import (sharded_library_append,
+                                          sharded_library_init)
+        from ragraph_tpu.rag.library import library_append, library_init
+
+        capacity, e, c, a = 64, 16, 3, 4
+        rng = np.random.default_rng(10)
+        lib1 = library_init(capacity, e, c, num_anchors=a)
+        lib2 = sharded_library_init(mesh8, capacity, e, c, num_anchors=a)
+
+        # three appends: full, partially-valid, overflowing
+        for n, n_valid in [(24, 24), (24, 17), (40, 40)]:
+            entries = self._entry_batch(rng, n, e, c, a, n_valid)
+            lib1 = library_append(lib1, *entries)
+            lib2 = sharded_library_append(mesh8, lib2, *entries)
+
+        assert int(lib1.fill) == int(lib2.fill) == capacity
+        for name in ("keys", "values", "labels", "positions"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lib1, name))[:capacity],
+                np.asarray(getattr(lib2, name)),
+                err_msg=name)
+
+    def test_build_matches_single_device(self, mesh8):
+        import jax.random as jr
+        from ragraph_tpu.data import stacked_batches, synthetic_tu_dataset
+        from ragraph_tpu.parallel import (build_sharded_library,
+                                          sharded_library_init)
+        from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                             library_init)
+
+        ds = synthetic_tu_dataset(seed=11, num_graphs=12, num_classes=3,
+                                  feat_dim=8, min_nodes=5, max_nodes=9)
+        cfg = LibraryConfig(level="node", num_inverse_sample=2,
+                            num_augment_scale=1, use_positions=True,
+                            num_anchors=4)
+
+        def encoder_fn(f, adj, mask=None):
+            return f @ jnp.ones((8, 16)) * 0.1 + adj @ f @ jnp.ones((8, 16))
+
+        capacity = 12 * 2 * 2 * 4  # graphs * copies * samples, padded to /8
+        lib1 = library_init(capacity, 16, 3, num_anchors=4)
+        lib1 = build_library(lib1, encoder_fn, stacked_batches(ds.graphs, 4),
+                             cfg, jr.key(7))
+        lib2 = sharded_library_init(mesh8, capacity, 16, 3, num_anchors=4)
+        lib2 = build_sharded_library(mesh8, lib2, encoder_fn,
+                                     stacked_batches(ds.graphs, 4), cfg,
+                                     jr.key(7))
+
+        assert int(lib1.fill) == int(lib2.fill) > 0
+        for name in ("keys", "values", "labels", "positions"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(lib1, name))[:capacity],
+                np.asarray(getattr(lib2, name)),
+                atol=1e-6, err_msg=name)
+
+    def test_retrieval_from_sharded_built_store(self, mesh8):
+        """End-to-end: build sharded, retrieve with the explicit sharded
+        top-k, match the single-device `retrieve`."""
+        from ragraph_tpu.parallel import (sharded_library_append,
+                                          sharded_library_init,
+                                          sharded_retrieve)
+        from ragraph_tpu.rag.library import (LibraryConfig, library_append,
+                                             library_init, retrieve)
+
+        capacity, e, c, a = 128, 32, 3, 4
+        rng = np.random.default_rng(12)
+        lib1 = library_init(capacity, e, c, num_anchors=a)
+        lib2 = sharded_library_init(mesh8, capacity, e, c, num_anchors=a)
+        entries = self._entry_batch(rng, 96, e, c, a)
+        lib1 = library_append(lib1, *entries)
+        lib2 = sharded_library_append(mesh8, lib2, *entries)
+
+        q = jnp.asarray(rng.normal(size=(8, e)).astype(np.float32))
+        cfg = LibraryConfig(retrieve_num=4)
+        v1, l1 = retrieve(lib1, q, cfg)
+        v2, l2 = sharded_retrieve(mesh8, q, lib2.keys, lib2.values,
+                                  lib2.labels, 4,
+                                  valid_mask=lib2.valid_mask)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=1e-5)
+
+
 def test_sharded_topk_pallas_local(mesh8):
     """Sharded top-k with the Pallas kernel as the local method."""
     rng = np.random.default_rng(9)
