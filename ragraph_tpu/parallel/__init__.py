@@ -1,4 +1,6 @@
-from ragraph_tpu.parallel.mesh import make_mesh, shard_rows, replicate  # noqa: F401
+from ragraph_tpu.parallel.mesh import (  # noqa: F401
+    dp_spec, make_mesh, make_multislice_mesh, replicate, shard_rows,
+)
 from ragraph_tpu.parallel.sharded_index import (  # noqa: F401
     sharded_cosine_topk, sharded_gather_rows, sharded_retrieve,
 )

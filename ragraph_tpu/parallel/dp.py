@@ -15,9 +15,15 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = "dp"):
-    """Shard every leaf's leading axis over ``axis_name``."""
-    s = NamedSharding(mesh, P(axis_name))
+def shard_batch(mesh: Mesh, batch, axis_name=None):
+    """Shard every leaf's leading axis over the data-parallel axes.
+
+    Defaults to ``("dcn", "dp")`` on a multi-slice mesh and ``"dp"`` on a
+    flat one (see :func:`ragraph_tpu.parallel.mesh.dp_spec`).
+    """
+    from ragraph_tpu.parallel.mesh import dp_spec
+    s = NamedSharding(mesh, dp_spec(mesh) if axis_name is None
+                      else P(axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -157,6 +157,76 @@ class TestShardedEdgeTraining:
                                    atol=1e-5)
 
 
+class TestMultiSlice:
+    """The (dcn, dp, idx) multi-slice layout (SURVEY §2 'optional DCN data
+    parallelism across slices'), emulated with 2 virtual slices of 4."""
+
+    @pytest.fixture(scope="class")
+    def mesh3(self):
+        from ragraph_tpu.parallel import make_multislice_mesh
+        return make_multislice_mesh(num_slices=2, dp=2, idx=2)
+
+    def test_axes_and_spec(self, mesh3):
+        from ragraph_tpu.parallel import dp_spec, make_mesh
+        from jax.sharding import PartitionSpec as P
+        assert mesh3.axis_names == ("dcn", "dp", "idx")
+        assert dict(mesh3.shape) == {"dcn": 2, "dp": 2, "idx": 2}
+        assert dp_spec(mesh3) == P(("dcn", "dp"))
+        assert dp_spec(make_mesh(dp=2, idx=4)) == P("dp")
+
+    def test_dp_step_over_dcn_matches_single_device(self, mesh3):
+        """Grad all-reduce over dcn x dp must reproduce the local step."""
+        rng = np.random.default_rng(20)
+        w0 = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+
+        def loss_fn(params, batch, key):
+            xx, yy = batch
+            return jnp.mean((xx @ params - yy) ** 2)
+
+        opt = optax.sgd(0.1)
+        loss1, grads = jax.value_and_grad(loss_fn)(w0, (x, y), None)
+        w1 = w0 - 0.1 * grads
+
+        step = make_dp_train_step(mesh3, loss_fn, opt)
+        params = replicate(mesh3, w0)
+        batch = shard_batch(mesh3, (x, y))  # leading axis over (dcn, dp)
+        w2, _, loss2 = step(params, opt.init(params), batch, None)
+        np.testing.assert_allclose(float(loss2), float(loss1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                   atol=1e-5)
+
+    def test_sharded_topk_on_multislice_mesh(self, mesh3):
+        """Library rows shard over idx only (within-slice); queries stay
+        replicated across dcn/dp — exactness must be unaffected."""
+        rng = np.random.default_rng(21)
+        q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        keys = jnp.asarray(rng.normal(size=(512, 32)).astype(np.float32))
+        s_ref, i_ref = cosine_topk(q, keys, 7)
+        s_sh, i_sh = sharded_cosine_topk(mesh3, q,
+                                         shard_rows(mesh3, keys), 7)
+        np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+    def test_sharded_library_append_on_multislice_mesh(self, mesh3):
+        from ragraph_tpu.parallel import (sharded_library_append,
+                                          sharded_library_init)
+        from ragraph_tpu.rag.library import library_append, library_init
+
+        capacity, e, c, a = 32, 8, 3, 4
+        rng = np.random.default_rng(22)
+        lib1 = library_init(capacity, e, c, num_anchors=a)
+        lib2 = sharded_library_init(mesh3, capacity, e, c, num_anchors=a)
+        entries = TestShardedLibraryBuild._entry_batch(rng, 24, e, c, a, 20)
+        lib1 = library_append(lib1, *entries)
+        lib2 = sharded_library_append(mesh3, lib2, *entries)
+        assert int(lib1.fill) == int(lib2.fill) == 20
+        np.testing.assert_array_equal(np.asarray(lib1.keys)[:capacity],
+                                      np.asarray(lib2.keys))
+
+
 class TestShardedLibraryBuild:
     """The library *build/append* path on a row-sharded store must match
     the single-device store row-for-row (VERDICT r1 item 4)."""
