@@ -12,9 +12,15 @@ recall check runs entirely on device (one scalar comes back), and (b)
 timing chains ITERS executions with one final scalar sync and subtracts
 the measured tunnel roundtrip.
 
+Besides throughput, reports **MFU** (achieved FLOP/s over the chip's bf16
+peak) for the retrieval matmul and for one edge-family train step at
+amazon-like scale — the objective perf yardstick, since the reference has
+no TPU numbers to beat (BASELINE.md).
+
 Prints ONE JSON line:
   {"metric": "retrieval_qps", "value": <TPU queries/s>,
-   "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>}
+   "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>,
+   "mfu": <retrieval MFU>, "edge_step_ms": ..., "edge_step_mfu": ...}
 """
 
 import json
@@ -25,6 +31,33 @@ import numpy as np
 
 R, E, Q, K = 262_144, 128, 2048, 10
 WARMUP, ITERS = 3, 50
+EDGE_ITERS = 20
+
+# dense bf16 peak FLOP/s by device_kind substring (public TPU specs)
+_PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12),
+          ("v3", 123e12), ("v2", 45e12))
+
+
+def chip_peak_flops():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAKS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def compiled_flops(fn, *args):
+    """XLA's own FLOP count for one call (None if unavailable)."""
+    try:
+        import jax
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops") if ca else None
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
 
 
 def bench_tpu():
@@ -91,7 +124,78 @@ def bench_tpu():
         float(retrieve_chain(queries, keys_n, values))
         totals.append(time.perf_counter() - t0)
     dt = max((min(totals) - roundtrip) / ITERS, 1e-9)
-    return Q / dt, recall, dt
+
+    flops = compiled_flops(retrieve, queries, keys_n, values)
+    if flops is None:
+        flops = 2.0 * Q * R * E  # the score matmul dominates
+    return Q / dt, recall, dt, flops / dt, roundtrip
+
+
+def bench_edge_step(roundtrip):
+    """One GraphPro train step (fwd+bwd+Adam) at amazon-like scale:
+    128k users x 128k items, 1M interactions (2M directed edges), D=64,
+    batch 8192. Returns (step seconds, achieved FLOP/s)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                         GraphPro)
+
+    U = I = 1 << 17
+    M, D, B = 1 << 20, 64, 8192
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, U, M).astype(np.int32)
+    it = rng.integers(0, I, M).astype(np.int32) + U
+    send = np.concatenate([u, it])
+    recv = np.concatenate([it, u])
+    order = np.argsort(recv, kind="stable")   # receiver-sorted (CSR)
+    send, recv = send[order], recv[order]
+    deg = np.bincount(send, minlength=U + I).astype(np.float32)
+    norm = 1.0 / np.sqrt(np.maximum(deg[send] * deg[recv], 1.0))
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=U + I))]).astype(np.int32)
+    g = EdgeGraphArrays(
+        senders=jnp.asarray(send), receivers=jnp.asarray(recv),
+        edge_norm=jnp.asarray(norm.astype(np.float32)),
+        edge_times=jnp.zeros(2 * M, jnp.float32),
+        num_users=U, num_items=I, recv_indptr=jnp.asarray(indptr))
+
+    cfg = EdgeModelConfig(emb_size=D, num_layers=3, edge_dropout=0.2)
+    model = GraphPro(cfg, g, phase="pretrain")
+    params = model.init_params(jax.random.key(0))
+    batch = (jnp.asarray(rng.integers(0, U, B).astype(np.int32)),
+             jnp.asarray(rng.integers(U, U + I, B).astype(np.int32)),
+             jnp.asarray(rng.integers(U, U + I, B).astype(np.int32)))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def step(params, opt_state, g, batch, key):
+        (l, _), grads = jax.value_and_grad(
+            lambda p: model.cal_loss(p, batch, key, graph=g),
+            has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    @jax.jit
+    def chain(params, opt_state, g, batch, key):
+        def body(i, c):
+            p, o, acc = c
+            p, o, l = step(p, o, g, batch, jax.random.fold_in(key, i))
+            return (p, o, acc + l)
+        return jax.lax.fori_loop(
+            0, EDGE_ITERS, body, (params, opt_state, jnp.float32(0)))[2]
+
+    key = jax.random.key(1)
+    float(chain(params, opt_state, g, batch, key))  # compile
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(params, opt_state, g, batch, key))
+        totals.append(time.perf_counter() - t0)
+    dt = max((min(totals) - roundtrip) / EDGE_ITERS, 1e-9)
+    flops = compiled_flops(step, params, opt_state, g, batch, key)
+    return dt, (flops / dt if flops else None)
 
 
 def bench_torch_cpu():
@@ -119,17 +223,29 @@ def bench_torch_cpu():
 
 
 def main():
-    tpu_qps, recall, dt = bench_tpu()
+    tpu_qps, recall, dt, flops_s, roundtrip = bench_tpu()
+    edge_dt, edge_flops_s = bench_edge_step(roundtrip)
     cpu_qps = bench_torch_cpu()
     speedup = tpu_qps / cpu_qps
+
+    peak = chip_peak_flops()
+    mfu = round(flops_s / peak, 4) if peak else None
+    edge_mfu = (round(edge_flops_s / peak, 4)
+                if peak and edge_flops_s else None)
     print(f"# R={R} E={E} Q={Q} k={K}: TPU {tpu_qps:,.0f} q/s "
-          f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}); "
+          f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}, "
+          f"{flops_s/1e12:.1f} TFLOP/s = {mfu} MFU); "
+          f"edge train step {edge_dt*1e3:.2f} ms "
+          f"({(edge_flops_s or 0)/1e12:.2f} TFLOP/s = {edge_mfu} MFU); "
           f"torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
     print(json.dumps({
         "metric": "retrieval_qps",
         "value": round(tpu_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(speedup, 2),
+        "mfu": mfu,
+        "edge_step_ms": round(edge_dt * 1e3, 3),
+        "edge_step_mfu": edge_mfu,
     }))
 
 

@@ -31,6 +31,8 @@ Usage:
   python experiments/amazon_real.py finetune   # staged RAGraph run
   python experiments/amazon_real.py finetune-graphpro  # no-RAG ablation
   python experiments/amazon_real.py finetune-nolora    # LoRA-off ablation
+  python experiments/amazon_real.py finetune-noise     # + retrieval noise
+                                     # (finetune_noise.py protocol, LoRA off)
   python experiments/amazon_real.py all
 """
 
@@ -129,14 +131,21 @@ def run_finetune(model_name="RAGraph"):
 
     t0 = time.time()
     model_cls = {"RAGraph": RAGraphEdge, "RAGraph-noLoRA": RAGraphEdge,
+                 "RAGraph-noise": RAGraphEdge,
                  "GraphPro": GraphPro}[model_name]
-    use_lora = model_name != "RAGraph-noLoRA"
+    # "RAGraph-noise" = the reference's finetune_noise.py protocol
+    # (use_noise=True, finetune_noise.py:155: random resource rows appended
+    # to every retrieval during training); run LoRA-off so it is directly
+    # comparable to the best plain finetune ("RAGraph-noLoRA").
+    use_lora = model_name not in ("RAGraph-noLoRA", "RAGraph-noise")
 
     def cfg_factory(phase):
+        import dataclasses as _dc
         c = make_cfg(phase)
         if not use_lora:
-            import dataclasses as _dc
             c = _dc.replace(c, use_lora=False)
+        if model_name == "RAGraph-noise":
+            c = _dc.replace(c, use_noise=True)
         return c
 
     result = staged_finetune(
@@ -221,5 +230,7 @@ if __name__ == "__main__":
         run_finetune("GraphPro")
     if mode == "finetune-nolora":
         run_finetune("RAGraph-noLoRA")
+    if mode == "finetune-noise":
+        run_finetune("RAGraph-noise")
     if mode == "vanilla":
         run_vanilla()
