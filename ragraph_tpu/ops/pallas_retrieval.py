@@ -16,9 +16,14 @@ kernel is the exact path at approx-like speed:
   pass — or by a fixed ``k``-extraction rebuild (``merge='rebuild'``);
 - the final tile writes the sorted top-k to the output.
 
-Measured on v5e at R=262k, E=128, Q=2048, k=10: 9.0 ms/batch exact
+Measured on v5e at R=262k, E=128, Q=2048, k=10: 9.2 ms/batch exact
 (bitwise-equal scores vs the XLA sort, which takes ~950 ms — 105x), vs
-1.1 ms for the approximate ``lax.approx_max_k`` path.
+2.4 ms for the approximate ``lax.approx_max_k`` path. The two-phase
+bucket kernel (:mod:`ragraph_tpu.ops.bucket_topk`, 4.6 ms) has since
+superseded this as the default exact path; this single-pass variant
+remains useful when the running merge must stay fused in one kernel
+(e.g. tight VMEM). A 128-lane sub-chunked insert merge was also tried:
+the per-chunk ``while_loop`` overhead made it 3x *slower* (27.7 ms).
 
 Reference behavior replaced: ``ToyGraphBase.retrieve``'s dense
 ``cosine → torch.topk`` (``RAGraph_node/ragraph_utils/ToyGraphBase.py:

@@ -49,9 +49,12 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
       method: ``"exact"`` (full sort), ``"approx"`` (TPU PartialReduce via
         ``lax.approx_max_k`` — on a v5e this is ~400x faster than the sort
         at R=262k and lets XLA avoid materializing the f32 score matrix),
-        ``"pallas"`` (fused blocked kernel: exact results ~105x faster than
-        the sort, see :mod:`ragraph_tpu.ops.pallas_retrieval`), or
-        ``"auto"`` (approx above :data:`AUTO_APPROX_THRESHOLD` rows).
+        ``"bucket"`` (two-phase exact kernel, bitwise-equal to the sort at
+        ~2x the approx cost, :mod:`ragraph_tpu.ops.bucket_topk`),
+        ``"pallas"`` (single-pass running-merge kernel,
+        :mod:`ragraph_tpu.ops.pallas_retrieval`), or ``"auto"`` (exact sort
+        below :data:`AUTO_APPROX_THRESHOLD` rows; above it, ``"bucket"``
+        when ``recall_target >= 1.0`` and ``"approx"`` otherwise).
 
     Returns:
       ``(scores, indices)`` of shape ``(Q, k)``.
@@ -59,8 +62,19 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
     q = queries if queries_normalized else l2_normalize(queries)
     kk = keys if keys_normalized else l2_normalize(keys)
     if method == "auto":
-        method = ("approx" if keys.shape[0] >= AUTO_APPROX_THRESHOLD
-                  else "exact")
+        if keys.shape[0] < AUTO_APPROX_THRESHOLD:
+            method = "exact"        # full sort is cheap at this size
+        elif recall_target >= 1.0:
+            method = "bucket"       # exact results requested at scale
+        else:
+            method = "approx"
+    if method == "bucket":
+        # exact fused two-phase kernel: bitwise-equal to the full sort,
+        # ~2x of approx_max_k at R=262k (4.6 vs 2.4 ms on v5e) — the
+        # default when exact results are required at scale
+        from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
+        return bucketed_exact_topk(q, kk, k, valid_mask=valid_mask,
+                                   interpret=jax.default_backend() == "cpu")
     if method == "pallas":
         from ragraph_tpu.ops.pallas_retrieval import fused_cosine_topk
         return fused_cosine_topk(q, kk, k, valid_mask=valid_mask,

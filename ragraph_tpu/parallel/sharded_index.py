@@ -55,6 +55,13 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
         if method == "approx":
             s_loc, i_loc = jax.lax.approx_max_k(
                 scores, k_local, recall_target=recall_target)
+        elif method == "bucket":
+            # two-phase exact kernel on the local shard (the matmul above
+            # is DCE'd; scores are recomputed inside the kernel)
+            from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
+            s_loc, i_loc = bucketed_exact_topk(
+                l2_normalize(q), l2_normalize(kk), k_local,
+                valid_mask=vm, interpret=jax.default_backend() == "cpu")
         elif method == "pallas":
             # exact fused kernel on the local shard (scores recomputed
             # inside the kernel; the matmul above is DCE'd)

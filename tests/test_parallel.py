@@ -323,15 +323,16 @@ class TestShardedLibraryBuild:
         np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=1e-5)
 
 
-def test_sharded_topk_pallas_local(mesh8):
-    """Sharded top-k with the Pallas kernel as the local method."""
+@pytest.mark.parametrize("local_method", ["pallas", "bucket"])
+def test_sharded_topk_kernel_local(mesh8, local_method):
+    """Sharded top-k with a Pallas kernel as the local method."""
     rng = np.random.default_rng(9)
     q = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
     keys = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
     s_ref, i_ref = cosine_topk(q, keys, 8)
     s_sh, i_sh = sharded_cosine_topk(mesh8, q, shard_rows(mesh8, keys), 8,
-                                     local_method="pallas")
+                                     local_method=local_method)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
-                               atol=2e-2)  # bf16 scoring in the kernel
+                               atol=2e-2)  # bf16 scoring in the kernels
     match = (np.asarray(i_sh) == np.asarray(i_ref)).mean()
     assert match > 0.9
