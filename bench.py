@@ -152,14 +152,26 @@ def bench_edge_step(roundtrip):
     order = np.argsort(recv, kind="stable")   # receiver-sorted (CSR)
     send, recv = send[order], recv[order]
     deg = np.bincount(send, minlength=U + I).astype(np.float32)
-    norm = 1.0 / np.sqrt(np.maximum(deg[send] * deg[recv], 1.0))
+    norm = (1.0 / np.sqrt(np.maximum(deg[send] * deg[recv],
+                                     1.0))).astype(np.float32)
     indptr = np.concatenate(
         [[0], np.cumsum(np.bincount(recv, minlength=U + I))]).astype(np.int32)
+    # sender-order auxiliaries + static time softmax: enables the fused
+    # custom-VJP propagation (see models/edge/base.lightgcn_propagate)
+    perm = np.argsort(send, kind="stable").astype(np.int32)
+    sip = np.concatenate(
+        [[0], np.cumsum(np.bincount(send, minlength=U + I))]).astype(np.int32)
+    tn = np.ones(2 * M, np.float32)
+    tn /= np.maximum(np.bincount(recv, minlength=U + I), 1.0)[recv]
     g = EdgeGraphArrays(
         senders=jnp.asarray(send), receivers=jnp.asarray(recv),
-        edge_norm=jnp.asarray(norm.astype(np.float32)),
+        edge_norm=jnp.asarray(norm),
         edge_times=jnp.zeros(2 * M, jnp.float32),
-        num_users=U, num_items=I, recv_indptr=jnp.asarray(indptr))
+        num_users=U, num_items=I, recv_indptr=jnp.asarray(indptr),
+        send_perm=jnp.asarray(perm), send_indptr=jnp.asarray(sip),
+        recv_of_send=jnp.asarray(recv[perm].astype(np.int32)),
+        edge_norm_send=jnp.asarray(norm[perm]),
+        time_norm=jnp.asarray(tn), time_norm_send=jnp.asarray(tn[perm]))
 
     cfg = EdgeModelConfig(emb_size=D, num_layers=3, edge_dropout=0.2)
     model = GraphPro(cfg, g, phase="pretrain")

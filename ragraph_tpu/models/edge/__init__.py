@@ -1,6 +1,7 @@
 from ragraph_tpu.models.edge.base import (  # noqa: F401
     EdgeModelConfig, bpr_loss, nce_loss, cal_infonce, reg_loss_emb,
-    edge_drop_mask, relative_time_encoding, lightgcn_propagate,
+    edge_drop_mask, hash_edge_mask, relative_time_encoding,
+    lightgcn_propagate,
 )
 from ragraph_tpu.models.edge.ragraph_edge import (  # noqa: F401
     TemporalLightGCN, LightGCNEdge, GraphPro, RAGraphEdge,

@@ -57,11 +57,22 @@ class EdgeModelConfig:
     use_noise: bool = False
     lora_rank: int = 16
     use_lora: bool = True
-    # segment-reduction implementation: "auto" picks the Pallas sorted
-    # prefix-sum kernel whenever it applies (TPU + receiver-sorted edges;
-    # measured 2x op / 14% step win), else XLA scatter-add. "scatter" /
-    # "sorted" force a backend.
+    # segment-reduction implementation: "auto" picks the fused custom-VJP
+    # propagation (bf16 gathers + sorted reduce both directions, ~3x per
+    # layer) whenever it applies (TPU + sorted edges + sender-order
+    # auxiliaries + static time mode), else the Pallas sorted prefix-sum
+    # forward, else XLA scatter-add. "fused"/"sorted"/"scatter" force one.
     segsum_impl: str = "auto"
+    # propagation compute dtype: "auto" = bf16 rows with f32 accumulation
+    # on TPU (gathers are 3x faster), f32 elsewhere; or "bf16"/"f32".
+    propagate_dtype: str = "auto"
+    # time-encoding mode: "static" precomputes the per-destination time
+    # softmax once per graph in f64 (EdgeGraphArrays.time_norm) and
+    # applies inverted-dropout scaling to masked edges; "renorm" matches
+    # the reference exactly (recompute the softmax over surviving edges
+    # every step, RAGraph.py:250-263) at ~70 ms/step extra at 2M edges
+    # (scalar segment ops). See docs/PARITY.md.
+    time_mode: str = "static"
     # plugin knobs (``parse_args.py:49-63``)
     temp: float = 0.2        # SGL InfoNCE temperature
     lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)
@@ -137,6 +148,27 @@ def edge_drop_mask(key: jax.Array, num_edges: int, keep_rate: float):
     return jax.random.bernoulli(key, keep_rate, (num_edges,))
 
 
+def hash_edge_mask(key: jax.Array, edge_ids: jax.Array, keep_rate: float):
+    """Keep mask from a stateless integer hash of the *edge id*.
+
+    Same drop semantics as :func:`edge_drop_mask`, but the mask is a pure
+    elementwise function of ``(key, edge id)`` — so the fused propagation
+    backward can evaluate the SAME mask in sender order by hashing
+    ``graph.send_perm`` instead of gathering a materialized mask through a
+    2M-element scalar permute (18 ms on v5e; the hash is ~free).
+    Finalizer is the murmur3-style avalanche — plenty for dropout.
+    """
+    if keep_rate >= 1.0:
+        return jnp.ones(edge_ids.shape, dtype=bool)
+    salt = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
+                              jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+    x = edge_ids.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + salt
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x < jnp.uint32(round(keep_rate * 4294967296.0))
+
+
 @partial(jax.jit, static_argnames=("num_nodes",))
 def relative_time_encoding(edge_times: jax.Array, receivers: jax.Array,
                            num_nodes: int,
@@ -156,27 +188,50 @@ def relative_time_encoding(edge_times: jax.Array, receivers: jax.Array,
     return segment_softmax(t, receivers, num_nodes, mask=edge_mask)
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "num_layers", "impl"))
+@partial(jax.jit, static_argnames=("num_nodes", "num_layers", "impl",
+                                   "bf16", "interpret"))
 def lightgcn_propagate(all_emb: jax.Array, senders: jax.Array,
                        receivers: jax.Array, weights: jax.Array,
                        num_nodes: int, num_layers: int,
                        recv_indptr: jax.Array | None = None,
-                       impl: str = "scatter"):
+                       impl: str = "scatter",
+                       weights_send: jax.Array | None = None,
+                       recv_of_send: jax.Array | None = None,
+                       send_indptr: jax.Array | None = None,
+                       bf16: bool = True, interpret: bool = False):
     """LightGCN layers; returns the list [h0, h1, ..., hL].
 
     One gather + VPU scale + segment reduction per layer
     (``modules/RAGraph.py:232-240``); dropped edges carry zero weight.
 
-    ``impl="sorted"`` (requires receiver-sorted edges + ``recv_indptr``)
-    uses the Pallas streaming-prefix-sum reduction
-    (:mod:`ragraph_tpu.ops.pallas_segment`) — ~2x over XLA scatter-add on
-    v5e at 512k edges; differentiable via a custom gather VJP.
+    ``impl="fused"`` (receiver-sorted edges + the sender-order
+    auxiliaries + ``weights_send``) uses the custom-VJP fused op
+    (:func:`ragraph_tpu.ops.pallas_segment.gather_scale_segsum`): bf16
+    gathers (3x) and a gather+sorted-reduce backward instead of XLA's
+    scatter-add transpose (1.7x) — measured ~3x per layer end-to-end on
+    v5e at 2M x 64. Weights must be parameter-independent on this path
+    (they are, in every model here).
+
+    ``impl="sorted"`` uses the Pallas streaming-prefix-sum reduction for
+    the forward only (~2x over scatter-add); ``"scatter"`` is plain XLA.
     """
-    use_sorted = impl == "sorted" and recv_indptr is not None
-    if use_sorted:
+    use_fused = (impl == "fused" and recv_indptr is not None
+                 and weights_send is not None and recv_of_send is not None
+                 and send_indptr is not None)
+    # "fused" without the auxiliaries degrades to the sorted forward
+    use_sorted = (impl in ("sorted", "fused") and not use_fused
+                  and recv_indptr is not None)
+    if use_fused:
+        from ragraph_tpu.ops.pallas_segment import gather_scale_segsum
+    elif use_sorted:
         from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_grad
     layers = [all_emb]
     for _ in range(num_layers):
+        if use_fused:
+            layers.append(gather_scale_segsum(
+                layers[-1], weights, weights_send, senders, recv_indptr,
+                recv_of_send, send_indptr, bf16=bf16, interpret=interpret))
+            continue
         msgs = layers[-1][senders] * weights[:, None]
         if use_sorted:
             layers.append(sorted_segment_sum_grad(msgs, recv_indptr,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ragraph_tpu.models.edge.base import (bpr_loss, edge_drop_mask,
+                                          hash_edge_mask,
                                           lightgcn_propagate, reg_loss_emb)
 from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN
 
@@ -117,20 +118,33 @@ class DynamicBase(TemporalLightGCN):
     def _gate(self, params, all_emb, key, training):
         return all_emb
 
-    def _plain_layers(self, params, edge_mask, all_emb, graph=None):
+    def _plain_layers(self, params, edge_mask, all_emb, graph=None,
+                      edge_mask_send=None):
         g = self.graph if graph is None else graph
-        weights = g.edge_norm
-        if edge_mask is not None:
-            weights = jnp.where(edge_mask, weights, 0.0)
+        weights, w_send, impl = self._edge_weights(g, edge_mask,
+                                                   edge_mask_send)
+        import jax as _jax
         return lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
-                                  g.num_nodes, self.cfg.num_layers)
+                                  g.num_nodes, self.cfg.num_layers,
+                                  recv_indptr=g.recv_indptr, impl=impl,
+                                  weights_send=w_send,
+                                  recv_of_send=g.recv_of_send,
+                                  send_indptr=g.send_indptr,
+                                  bf16=self._bf16(),
+                                  interpret=_jax.default_backend() == "cpu")
 
     def _bpr_step(self, params, batch, key, forward_fn, graph=None):
         g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
-        mask = edge_drop_mask(key, g.num_edges,
-                              1.0 - self.cfg.edge_dropout)
-        user_emb, item_emb = forward_fn(params, edge_mask=mask)
+        keep = 1.0 - self.cfg.edge_dropout
+        if g.send_perm is not None:
+            mask = hash_edge_mask(key, jnp.arange(g.num_edges), keep)
+            mask_send = hash_edge_mask(key, g.send_perm, keep)
+        else:
+            mask = edge_drop_mask(key, g.num_edges, keep)
+            mask_send = None
+        user_emb, item_emb = forward_fn(params, edge_mask=mask,
+                                        edge_mask_send=mask_send)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         reg = self.cfg.weight_decay * reg_loss_emb(
@@ -170,20 +184,17 @@ class Roland(DynamicBase):
         return res[: g.num_users], res[g.num_users:]
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                graph=None, **_):
+                edge_mask_send=None, graph=None, **_):
         assert self.meta_layers is not None, "call set_meta_layers first"
         g = self.graph if graph is None else graph
-        weights = g.edge_norm
-        if edge_mask is not None:
-            weights = jnp.where(edge_mask, weights, 0.0)
+        weights, w_send, impl = self._edge_weights(g, edge_mask,
+                                                   edge_mask_send)
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
         layers = [all_emb]
         h = all_emb
         for l in range(self.cfg.num_layers):
-            msgs = h[g.senders] * weights[:, None]
-            h = jax.ops.segment_sum(msgs, g.receivers,
-                                    num_segments=g.num_nodes)
+            h = self._prop_layer(g, h, weights, w_send, impl)
             h = gru_cell(params["gru"], h, self.meta_layers[l + 1])
             layers.append(h)
         res = sum(layers)
@@ -192,8 +203,8 @@ class Roland(DynamicBase):
     def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
-                                              graph=graph), graph=graph)
+            lambda p, **kw: self.forward(p, graph=graph, **kw),
+            graph=graph)
 
 
 class EvolveGCNH(DynamicBase):
@@ -228,8 +239,8 @@ class EvolveGCNH(DynamicBase):
     def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
-                                              graph=graph), graph=graph)
+            lambda p, **kw: self.forward(p, graph=graph, **kw),
+            graph=graph)
 
 
 class EvolveGCNO(DynamicBase):
@@ -256,5 +267,5 @@ class EvolveGCNO(DynamicBase):
     def cal_loss(self, params, batch, key, graph=None, resources=None):
         return self._bpr_step(
             params, batch, key,
-            lambda p, edge_mask: self.forward(p, edge_mask=edge_mask,
-                                              graph=graph), graph=graph)
+            lambda p, **kw: self.forward(p, graph=graph, **kw),
+            graph=graph)

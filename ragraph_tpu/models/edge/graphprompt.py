@@ -114,11 +114,12 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
             return u, it
 
         def _propagated(self, params, key, training, edge_mask,
-                        return_layers=False, perturb_key=None, graph=None):
+                        return_layers=False, perturb_key=None, graph=None,
+                        **prop_kw):
             layers = super()._propagated(params, key, training, edge_mask,
                                          return_layers=True,
                                          perturb_key=perturb_key,
-                                         graph=graph)
+                                         graph=graph, **prop_kw)
             if prompt_mode == "graphprompt":
                 # message·prompt each hop ≡ layer_ℓ · prompt^ℓ (the
                 # elementwise scale commutes with the linear segment-sum)

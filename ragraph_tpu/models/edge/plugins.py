@@ -65,55 +65,43 @@ class PluginBase(TemporalLightGCN):
         return h
 
     def _propagated(self, params, key, training, edge_mask,
-                    return_layers=False, perturb_key=None, graph=None):
+                    return_layers=False, perturb_key=None, graph=None,
+                    edge_mask_send=None, time_scale: float = 1.0):
         g = self.graph if graph is None else graph
         cfg = self.cfg
-        weights = g.edge_norm
-        if edge_mask is not None:
-            weights = jnp.where(edge_mask, weights, 0.0)
-        if self.use_time:
-            tn = relative_time_encoding(g.edge_times, g.receivers,
-                                        g.num_nodes, edge_mask=edge_mask)
-            weights = weights * 0.5 + tn * 0.5
+        weights, w_send, impl = self._edge_weights(
+            g, edge_mask, edge_mask_send, time_scale=time_scale)
         u, it = self._effective_tables(params, key, training)
         all_emb = jnp.concatenate([u, it], axis=0)
         all_emb = self._gate(params, all_emb, key, training)
         all_emb = self._evolve(params, all_emb)
 
-        if perturb_key is None:
-            layers = [all_emb]
-            h = all_emb
-            for l in range(cfg.num_layers):
-                msgs = h[g.senders] * weights[:, None]
-                h = jax.ops.segment_sum(msgs, g.receivers,
-                                        num_segments=g.num_nodes)
-                h = self._layer_fuse(params, h, l)
-                layers.append(h)
-        else:
-            # SimGCL per-layer perturbation (SimGCL.py:55-57)
-            layers = [all_emb]
-            h = all_emb
-            for l in range(cfg.num_layers):
-                msgs = h[g.senders] * weights[:, None]
-                h = jax.ops.segment_sum(msgs, g.receivers,
-                                        num_segments=g.num_nodes)
-                h = self._layer_fuse(params, h, l)
+        layers = [all_emb]
+        h = all_emb
+        for l in range(cfg.num_layers):
+            h = self._prop_layer(g, h, weights, w_send, impl)
+            h = self._layer_fuse(params, h, l)
+            if perturb_key is not None:
+                # SimGCL per-layer perturbation (SimGCL.py:55-57)
                 noise = jax.random.uniform(
                     jax.random.fold_in(perturb_key, l), h.shape)
                 noise = noise / jnp.maximum(
                     jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-12)
                 h = h + jnp.sign(h) * noise * cfg.eps
-                layers.append(h)
+            layers.append(h)
         if return_layers:
             return layers
         return sum(layers)
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
+                edge_mask_send=None, time_scale: float = 1.0,
                 max_time_step=None, perturb_key=None, graph=None,
                 resources=None):
         g = self.graph if graph is None else graph
         res = self._propagated(params, key, training, edge_mask,
-                               perturb_key=perturb_key, graph=g)
+                               perturb_key=perturb_key, graph=g,
+                               edge_mask_send=edge_mask_send,
+                               time_scale=time_scale)
         return res[: g.num_users], res[g.num_users:]
 
 

@@ -25,10 +25,11 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ragraph_tpu.data.edgelist import EdgeDataset
 from ragraph_tpu.models.edge.base import (EdgeModelConfig, bpr_loss,
-                                          edge_drop_mask,
+                                          edge_drop_mask, hash_edge_mask,
                                           lightgcn_propagate,
                                           reg_loss_emb,
                                           relative_time_encoding)
@@ -82,17 +83,50 @@ class EdgeGraphArrays:
     num_users: int
     num_items: int
     recv_indptr: jax.Array | None = None  # CSR bounds (receiver-sorted)
+    # sender-order auxiliaries (backward pass of the fused propagation:
+    # d_emb becomes ONE row gather + a sorted reduce instead of a
+    # scatter-add — see ops/pallas_segment.gather_scale_segsum)
+    send_perm: jax.Array | None = None     # edge ids sorted by sender
+    send_indptr: jax.Array | None = None   # CSR bounds in sender order
+    recv_of_send: jax.Array | None = None  # receivers[send_perm]
+    edge_norm_send: jax.Array | None = None
+    # static per-destination time softmax (``time_mode='static'``),
+    # precomputed exactly in f64 on the host; both edge orders
+    time_norm: jax.Array | None = None
+    time_norm_send: jax.Array | None = None
 
     @classmethod
     def from_dataset(cls, ds: EdgeDataset) -> "EdgeGraphArrays":
         indptr = (jnp.asarray(ds.recv_indptr)
                   if getattr(ds, "recv_indptr", None) is not None else None)
+        send = np.asarray(ds.senders)
+        recv = np.asarray(ds.receivers)
+        norm = np.asarray(ds.edge_norm)
+        n_nodes = ds.num_users + ds.num_items
+        perm = np.argsort(send, kind="stable").astype(np.int32)
+        sip = np.zeros(n_nodes + 1, np.int32)
+        sip[1:] = np.cumsum(np.bincount(send, minlength=n_nodes))
+
+        # static time softmax (RAGraph.py:250-263 semantics on the full
+        # graph), exact in f64
+        t = np.asarray(ds.edge_times_bi, np.float64)
+        span = max(t.max() - t.min(), 1e-12) if t.size else 1.0
+        e = np.exp((t - (t.min() if t.size else 0.0)) / span)
+        denom = np.bincount(recv, weights=e, minlength=n_nodes)
+        tn = (e / np.maximum(denom[recv], 1e-300)).astype(np.float32)
+
         return cls(senders=jnp.asarray(ds.senders),
                    receivers=jnp.asarray(ds.receivers),
-                   edge_norm=jnp.asarray(ds.edge_norm),
+                   edge_norm=jnp.asarray(norm),
                    edge_times=jnp.asarray(ds.edge_times_bi),
                    num_users=ds.num_users, num_items=ds.num_items,
-                   recv_indptr=indptr)
+                   recv_indptr=indptr,
+                   send_perm=jnp.asarray(perm),
+                   send_indptr=jnp.asarray(sip),
+                   recv_of_send=jnp.asarray(recv[perm].astype(np.int32)),
+                   edge_norm_send=jnp.asarray(norm[perm]),
+                   time_norm=jnp.asarray(tn),
+                   time_norm_send=jnp.asarray(tn[perm]))
 
     @property
     def num_nodes(self):
@@ -106,7 +140,8 @@ class EdgeGraphArrays:
 jax.tree_util.register_dataclass(
     EdgeGraphArrays,
     data_fields=["senders", "receivers", "edge_norm", "edge_times",
-                 "recv_indptr"],
+                 "recv_indptr", "send_perm", "send_indptr", "recv_of_send",
+                 "edge_norm_send", "time_norm", "time_norm_send"],
     meta_fields=["num_users", "num_items"])
 
 
@@ -129,22 +164,99 @@ class TemporalLightGCN:
         self.resource_values = None
 
     def _segsum_impl(self, graph: EdgeGraphArrays | None = None) -> str:
-        """Pick the segment-reduction backend.
+        """Pick the propagation backend.
 
-        ``"auto"`` (default) selects the Pallas sorted prefix-sum reduction
-        whenever it applies — TPU backend + receiver-sorted edges (measured
-        2x on the op / 14% on the amazon-scale train step, STATUS.md) —
-        and falls back to XLA scatter-add otherwise. ``"scatter"`` forces
-        the fallback, ``"sorted"`` forces the kernel (still TPU-gated:
-        Mosaic-compiled only).
+        ``"auto"`` (default) selects, in order: the fused custom-VJP
+        propagation (bf16 gathers + sorted reduce in BOTH directions —
+        measured ~3x per layer at 2M edges) when the sender-order
+        auxiliaries exist; the Pallas sorted prefix-sum forward; XLA
+        scatter-add. Kernel paths are TPU-gated (Mosaic) unless forced.
         """
         g = self.graph if graph is None else graph
         import jax as _jax
-        if (self.cfg.segsum_impl in ("sorted", "auto")
-                and _jax.default_backend() == "tpu"
-                and g.recv_indptr is not None):
+        want = self.cfg.segsum_impl
+        on_tpu = _jax.default_backend() == "tpu"
+        have_sorted = g.recv_indptr is not None
+        have_fused = (have_sorted and g.send_indptr is not None
+                      and g.recv_of_send is not None
+                      and g.edge_norm_send is not None)
+        if want == "fused" and have_fused:
+            return "fused"
+        if want == "auto" and on_tpu and have_fused:
+            return "fused"
+        if want in ("sorted", "fused") and on_tpu and have_sorted:
+            return "sorted"
+        if want == "auto" and on_tpu and have_sorted:
             return "sorted"
         return "scatter"
+
+    def _bf16(self) -> bool:
+        import jax as _jax
+        d = self.cfg.propagate_dtype
+        return d == "bf16" or (d == "auto"
+                               and _jax.default_backend() == "tpu")
+
+    def _edge_weights(self, g, edge_mask, edge_mask_send,
+                      time_scale: float = 1.0, max_time_step=None):
+        """Per-edge propagation weights in receiver order (+ sender order
+        when the fused path applies). Returns ``(weights, w_send, impl)``.
+
+        Static time mode folds the precomputed per-destination time
+        softmax in (inverted-dropout scaled by ``time_scale``); renorm
+        mode recomputes it over surviving edges exactly as the reference
+        does (``modules/RAGraph.py:250-263``), which forces the non-fused
+        backend (the softmax only exists in receiver order).
+        """
+        cfg = self.cfg
+        impl = self._segsum_impl(g)
+        static_time = (cfg.time_mode == "static"
+                       and g.time_norm is not None
+                       and max_time_step is None)
+        downgrade = ("sorted" if jax.default_backend() == "tpu"
+                     and g.recv_indptr is not None else "scatter")
+        if impl == "fused" and (edge_mask is not None
+                                and edge_mask_send is None):
+            impl = downgrade         # no sender-order mask available
+        if impl == "fused" and self.use_time and not static_time:
+            impl = downgrade         # renorm time softmax is recv-only
+
+        weights = g.edge_norm
+        w_send = g.edge_norm_send if impl == "fused" else None
+        if self.use_time and static_time:
+            weights = weights * 0.5 + g.time_norm * (0.5 * time_scale)
+            if impl == "fused":
+                w_send = w_send * 0.5 + g.time_norm_send * (0.5 * time_scale)
+            if edge_mask is not None:
+                weights = jnp.where(edge_mask, weights, 0.0)
+                if impl == "fused":
+                    w_send = jnp.where(edge_mask_send, w_send, 0.0)
+        else:
+            if edge_mask is not None:
+                weights = jnp.where(edge_mask, weights, 0.0)
+                if impl == "fused":
+                    w_send = jnp.where(edge_mask_send, w_send, 0.0)
+            if self.use_time:
+                tn = relative_time_encoding(
+                    g.edge_times, g.receivers, g.num_nodes,
+                    edge_mask=edge_mask, max_step=max_time_step)
+                weights = weights * 0.5 + tn * 0.5
+        return weights, w_send, impl
+
+    def _prop_layer(self, g, h, weights, w_send, impl):
+        """One propagation layer under the chosen backend (the per-layer
+        building block for the plugin/dynamic loops)."""
+        if impl == "fused":
+            from ragraph_tpu.ops.pallas_segment import gather_scale_segsum
+            return gather_scale_segsum(
+                h, weights, w_send, g.senders, g.recv_indptr,
+                g.recv_of_send, g.send_indptr, bf16=self._bf16(),
+                interpret=jax.default_backend() == "cpu")
+        msgs = h[g.senders] * weights[:, None]
+        if impl == "sorted":
+            from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_grad
+            return sorted_segment_sum_grad(msgs, g.recv_indptr, g.receivers)
+        return jax.ops.segment_sum(msgs, g.receivers,
+                                   num_segments=g.num_nodes)
 
     # -- params ------------------------------------------------------------
 
@@ -200,25 +312,25 @@ class TemporalLightGCN:
         return all_emb
 
     def forward(self, params, *, key=None, training: bool = False,
-                edge_mask=None, max_time_step=None, graph=None,
-                resources=None):
+                edge_mask=None, edge_mask_send=None, time_scale: float = 1.0,
+                max_time_step=None, graph=None, resources=None):
         """Returns ``(user_emb, item_emb)``.
 
         ``graph`` / ``resources`` override the instance buffers so jitted
         callers can pass them as *arguments* (traced pytrees) instead of
         closure-captured constants — required at 100M-edge scale where
         baked-in constants stall compilation and duplicate HBM.
+
+        ``edge_mask_send`` is the same keep mask in sender order (see
+        ``hash_edge_mask``); together with ``time_mode='static'`` it
+        enables the fused propagation. ``time_scale`` rescales the static
+        time softmax under dropout (inverted-dropout, 1/keep_rate).
         """
         g = self.graph if graph is None else graph
         cfg = self.cfg
-        weights = g.edge_norm
-        if edge_mask is not None:
-            weights = jnp.where(edge_mask, weights, 0.0)
-        if self.use_time:
-            time_norm = relative_time_encoding(
-                g.edge_times, g.receivers, g.num_nodes,
-                edge_mask=edge_mask, max_step=max_time_step)
-            weights = weights * 0.5 + time_norm * 0.5
+        weights, w_send, impl = self._edge_weights(
+            g, edge_mask, edge_mask_send, time_scale=time_scale,
+            max_time_step=max_time_step)
 
         u, it = self._effective_tables(params, key, training)
         all_emb = jnp.concatenate([u, it], axis=0)
@@ -227,7 +339,12 @@ class TemporalLightGCN:
         layers = lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
                                     g.num_nodes, cfg.num_layers,
                                     recv_indptr=g.recv_indptr,
-                                    impl=self._segsum_impl(g))
+                                    impl=impl,
+                                    weights_send=w_send,
+                                    recv_of_send=g.recv_of_send,
+                                    send_indptr=g.send_indptr,
+                                    bf16=self._bf16(),
+                                    interpret=jax.default_backend() == "cpu")
         res_emb = sum(layers)
 
         res_src = (resources if resources is not None
@@ -335,10 +452,19 @@ class TemporalLightGCN:
         g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
         k_drop, k_fwd = jax.random.split(key)
-        mask = edge_drop_mask(k_drop, g.num_edges,
-                              1.0 - self.cfg.edge_dropout)
+        keep = 1.0 - self.cfg.edge_dropout
+        if g.send_perm is not None:
+            # hash mask: evaluable in both edge orders without a gather
+            mask = hash_edge_mask(k_drop, jnp.arange(g.num_edges), keep)
+            mask_send = hash_edge_mask(k_drop, g.send_perm, keep)
+        else:
+            mask = edge_drop_mask(k_drop, g.num_edges, keep)
+            mask_send = None
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
-                                          edge_mask=mask, graph=g,
+                                          edge_mask=mask,
+                                          edge_mask_send=mask_send,
+                                          time_scale=1.0 / keep,
+                                          graph=g,
                                           resources=resources)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])

@@ -117,6 +117,65 @@ def _ssg_bwd(block, seg_ids, ct):
 sorted_segment_sum_grad.defvjp(_ssg_fwd, _ssg_bwd)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_gather_scale_segsum(block: int, bf16: bool, interpret: bool):
+    """Build the fused LightGCN propagation layer op (cached per config).
+
+    Forward: ``out[r] = Σ_{e: recv_e = r} w_e · emb[send_e]`` with edges
+    receiver-sorted — ONE row gather (bf16: 3x faster than f32 on v5e,
+    8.4 vs 25.8 ms at 2M x 64) + the streaming prefix-sum reduction.
+
+    Backward (the win over autodiff): ``d_emb[n] = Σ_{e: send_e = n}
+    w_e · ct[recv_e]`` is the SAME computation in sender order, so with
+    the precomputed ``recv_of_send``/``send_indptr`` auxiliaries it is one
+    row gather + a sorted reduce (32 ms) instead of XLA's scatter-add
+    transpose (55 ms at 2M x 64).
+
+    Weights are treated as constants w.r.t. AD (true for every model
+    here: binorm degrees, time encodings, and dropout masks never depend
+    on parameters) — their cotangent is symbolically zero. Callers must
+    supply the weights in BOTH edge orders; per-step dropout masks can be
+    produced in both orders without a 2M-scalar gather via
+    ``hash_edge_mask`` (models/edge/base.py).
+    """
+
+    def _run(emb, w, idx, indptr):
+        rows = emb.astype(jnp.bfloat16)[idx] if bf16 else emb[idx]
+        msgs = rows.astype(jnp.float32) * w[:, None]
+        if bf16:
+            msgs = msgs.astype(jnp.bfloat16)
+        return sorted_segment_sum_indptr(msgs, indptr, block=block,
+                                         interpret=interpret)
+
+    @jax.custom_vjp
+    def op(emb, w_recv, w_send, senders, recv_indptr, recv_of_send,
+           send_indptr):
+        return _run(emb, w_recv, senders, recv_indptr)
+
+    def fwd(emb, w_recv, w_send, senders, recv_indptr, recv_of_send,
+            send_indptr):
+        out = _run(emb, w_recv, senders, recv_indptr)
+        return out, (w_send, recv_of_send, send_indptr)
+
+    def bwd(res, ct):
+        w_send, recv_of_send, send_indptr = res
+        d_emb = _run(ct, w_send, recv_of_send, send_indptr)
+        return d_emb, None, None, None, None, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def gather_scale_segsum(emb, w_recv, w_send, senders, recv_indptr,
+                        recv_of_send, send_indptr, block: int = 512,
+                        bf16: bool = True, interpret: bool = False):
+    """Fused differentiable LightGCN propagation layer (see the factory
+    docstring above for semantics and the measured numbers)."""
+    op = _make_gather_scale_segsum(block, bf16, interpret)
+    return op(emb, w_recv, w_send, senders, recv_indptr, recv_of_send,
+              send_indptr)
+
+
 def sorted_segment_sum(msgs: jax.Array, starts: jax.Array, ends: jax.Array,
                        block: int = 512,
                        interpret: bool = False) -> jax.Array:

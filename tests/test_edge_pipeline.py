@@ -383,3 +383,59 @@ def test_resources_as_jit_argument(stream):
     out_b = fwd(params, (keys, values * 2.0))
     assert fwd._cache_size() == 1
     assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
+
+
+class TestFusedPropagation:
+    """The fused custom-VJP propagation path (segsum_impl='fused') and the
+    static time softmax (time_mode='static')."""
+
+    def test_static_time_matches_renorm_unmasked(self, dataset):
+        """Without dropout the static precomputed time softmax equals the
+        per-step renormalized one, so forwards must agree."""
+        import dataclasses as dc
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+        g = EdgeGraphArrays.from_dataset(dataset)
+        base = EdgeModelConfig(emb_size=16, num_layers=2, edge_dropout=0.0)
+        m_static = GraphPro(dc.replace(base, time_mode="static"), g,
+                            phase="pretrain")
+        m_renorm = GraphPro(dc.replace(base, time_mode="renorm"), g,
+                            phase="pretrain")
+        params = m_static.init_params(jr.key(0))
+        u1, i1 = m_static.forward(params)
+        u2, i2 = m_renorm.forward(params)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_fused_loss_and_grads_match_scatter(self, dataset):
+        """Forced fused impl (interpret kernels on CPU, f32) must produce
+        the same loss and embedding-table gradients as scatter-add."""
+        import dataclasses as dc
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+        g = EdgeGraphArrays.from_dataset(dataset)
+        base = EdgeModelConfig(emb_size=16, num_layers=2, edge_dropout=0.3,
+                               propagate_dtype="f32", time_mode="static")
+        batch = (jnp.arange(8, dtype=jnp.int32),
+                 jnp.arange(8, dtype=jnp.int32),
+                 jnp.arange(8, 16, dtype=jnp.int32))
+        key = jr.key(5)
+        outs = []
+        for impl in ("fused", "scatter"):
+            m = GraphPro(dc.replace(base, segsum_impl=impl), g,
+                         phase="pretrain")
+            params = m.init_params(jr.key(1))
+            (loss, _), grads = jax.value_and_grad(
+                lambda p: m.cal_loss(p, batch, key), has_aux=True)(params)
+            outs.append((float(loss), grads))
+        l1, g1 = outs[0]
+        l2, g2 = outs[1]
+        np.testing.assert_allclose(l1, l2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1["user_embedding"]),
+                                   np.asarray(g2["user_embedding"]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1["item_embedding"]),
+                                   np.asarray(g2["item_embedding"]),
+                                   rtol=1e-4, atol=1e-5)

@@ -39,3 +39,83 @@ def test_sorted_segment_sum_matches_scatter(n_edges, n_segs):
     empty = np.setdiff1d(np.arange(n_segs), ids)
     if len(empty):
         assert np.all(ours[empty] == 0)
+
+
+def _toy_graph(rng, n_nodes=96, n_edges=600):
+    send = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    recv = np.sort(rng.integers(0, n_nodes, n_edges)).astype(np.int32)
+    rip = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=n_nodes))]).astype(np.int32)
+    perm = np.argsort(send, kind="stable").astype(np.int32)
+    sip = np.concatenate(
+        [[0], np.cumsum(np.bincount(send, minlength=n_nodes))]).astype(np.int32)
+    return send, recv, rip, perm, sip, recv[perm].astype(np.int32)
+
+
+def test_gather_scale_segsum_forward_and_grad():
+    """The fused propagation layer must match the plain XLA formulation in
+    value AND in its emb-gradient (weights are AD constants by design)."""
+    from ragraph_tpu.ops.pallas_segment import gather_scale_segsum
+
+    rng = np.random.default_rng(7)
+    n, d = 96, 16
+    send, recv, rip, perm, sip, ros = _toy_graph(rng, n)
+    emb = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(len(send)).astype(np.float32))
+    w_send = w[jnp.asarray(perm)]
+
+    def fused(e):
+        out = gather_scale_segsum(e, w, w_send, jnp.asarray(send),
+                                  jnp.asarray(rip), jnp.asarray(ros),
+                                  jnp.asarray(sip), block=128, bf16=False,
+                                  interpret=INTERPRET)
+        return out, (out ** 2).sum()
+
+    def ref(e):
+        out = jax.ops.segment_sum(e[jnp.asarray(send)] * w[:, None],
+                                  jnp.asarray(recv), num_segments=n)
+        return out, (out ** 2).sum()
+
+    out1, _ = fused(emb)
+    out2, _ = ref(emb)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda e: fused(e)[1])(emb)
+    g2 = jax.grad(lambda e: ref(e)[1])(emb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gather_scale_segsum_bf16_close():
+    from ragraph_tpu.ops.pallas_segment import gather_scale_segsum
+
+    rng = np.random.default_rng(8)
+    n, d = 64, 8
+    send, recv, rip, perm, sip, ros = _toy_graph(rng, n, 400)
+    emb = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(len(send)).astype(np.float32))
+    out = gather_scale_segsum(emb, w, w[jnp.asarray(perm)],
+                              jnp.asarray(send), jnp.asarray(rip),
+                              jnp.asarray(ros), jnp.asarray(sip),
+                              block=128, bf16=True, interpret=INTERPRET)
+    ref = jax.ops.segment_sum(emb[jnp.asarray(send)] * w[:, None],
+                              jnp.asarray(recv), num_segments=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_hash_edge_mask_order_consistent():
+    from ragraph_tpu.models.edge.base import hash_edge_mask
+
+    rng = np.random.default_rng(9)
+    perm = jnp.asarray(rng.permutation(4096).astype(np.int32))
+    key = jax.random.key(3)
+    m = hash_edge_mask(key, jnp.arange(4096), 0.8)
+    m_send = hash_edge_mask(key, perm, 0.8)
+    np.testing.assert_array_equal(np.asarray(m)[np.asarray(perm)],
+                                  np.asarray(m_send))
+    keep = float(m.mean())
+    assert 0.75 < keep < 0.85
+    # different keys give different masks
+    m2 = hash_edge_mask(jax.random.key(4), jnp.arange(4096), 0.8)
+    assert bool((m != m2).any())
