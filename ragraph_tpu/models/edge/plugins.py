@@ -113,10 +113,11 @@ class SGLPlugin(PluginBase):
         cfg = self.cfg
         g = self.graph if graph is None else graph
         k_drop, k_fwd, k_v1, k_v2, k_cl = jax.random.split(key, 5)
-        mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
+        mask, mask_s = self._drop_masks(k_drop, g, 1.0 - cfg.edge_dropout)
 
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
-                                          edge_mask=mask, graph=g)
+                                          edge_mask=mask,
+                                          edge_mask_send=mask_s, graph=g)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         u_t, i_t = self._effective_tables(params, None, False)
@@ -124,12 +125,15 @@ class SGLPlugin(PluginBase):
                                               neg_items)
 
         # two extra 0.9-keep subsamples of the surviving edges (SGL.py:96-97)
-        m1 = mask & edge_drop_mask(k_v1, g.num_edges, 0.9)
-        m2 = mask & edge_drop_mask(k_v2, g.num_edges, 0.9)
+        v1, v1_s = self._drop_masks(k_v1, g, 0.9)
+        v2, v2_s = self._drop_masks(k_v2, g, 0.9)
+        m1, m2 = mask & v1, mask & v2
+        m1_s = mask_s & v1_s if mask_s is not None else None
+        m2_s = mask_s & v2_s if mask_s is not None else None
         u1, i1 = self.forward(params, key=k_fwd, training=True, edge_mask=m1,
-                              graph=g)
+                              edge_mask_send=m1_s, graph=g)
         u2, i2 = self.forward(params, key=k_fwd, training=True, edge_mask=m2,
-                              graph=g)
+                              edge_mask_send=m2_s, graph=g)
 
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
@@ -151,16 +155,18 @@ class SimGCLPlugin(PluginBase):
         g = self.graph if graph is None else graph
         k_drop, k_fwd, k_p1, k_p2 = jax.random.split(key, 4)
         # fixed 0.5 keep rate (SimGCL.py:74)
-        mask = edge_drop_mask(k_drop, g.num_edges, 0.5)
+        mask, mask_s = self._drop_masks(k_drop, g, 0.5)
 
         u_t, i_t = self._effective_tables(params, None, False)
         reg = cfg.weight_decay * reg_loss_emb(u_t, i_t, users, pos_items,
                                               neg_items)
 
         uv1, iv1 = self.forward(params, key=k_fwd, training=True,
-                                edge_mask=mask, perturb_key=k_p1, graph=g)
+                                edge_mask=mask, edge_mask_send=mask_s,
+                                perturb_key=k_p1, graph=g)
         uv2, iv2 = self.forward(params, key=k_fwd, training=True,
-                                edge_mask=mask, perturb_key=k_p2, graph=g)
+                                edge_mask=mask, edge_mask_send=mask_s,
+                                perturb_key=k_p2, graph=g)
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
         cl = cfg.lbd * (cal_infonce(uv1[uu], uv2[uu], 0.2, mask=um)
@@ -198,10 +204,11 @@ class MixGCFPlugin(PluginBase):
         cfg = self.cfg
         g = self.graph if graph is None else graph
         k_drop, k_fwd, k_mix = jax.random.split(key, 3)
-        mask = edge_drop_mask(k_drop, g.num_edges, 1.0 - cfg.edge_dropout)
+        mask, mask_s = self._drop_masks(k_drop, g, 1.0 - cfg.edge_dropout)
 
         layers = self._propagated(params, k_fwd, True, mask,
-                                  return_layers=True, graph=g)
+                                  return_layers=True, graph=g,
+                                  edge_mask_send=mask_s)
         stacked = jnp.stack(layers, axis=1)            # (N, L+1, E)
         user_layers = stacked[: g.num_users]
         item_layers = stacked[g.num_users:]

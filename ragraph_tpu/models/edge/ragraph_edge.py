@@ -242,6 +242,14 @@ class TemporalLightGCN:
                 weights = weights * 0.5 + tn * 0.5
         return weights, w_send, impl
 
+    def _drop_masks(self, key, g, keep_rate: float):
+        """Edge-keep mask in receiver order (+ sender order when the
+        sender auxiliaries exist, enabling the fused propagation)."""
+        if g.send_perm is not None:
+            return (hash_edge_mask(key, jnp.arange(g.num_edges), keep_rate),
+                    hash_edge_mask(key, g.send_perm, keep_rate))
+        return edge_drop_mask(key, g.num_edges, keep_rate), None
+
     def _prop_layer(self, g, h, weights, w_send, impl):
         """One propagation layer under the chosen backend (the per-layer
         building block for the plugin/dynamic loops)."""
@@ -453,13 +461,7 @@ class TemporalLightGCN:
         users, pos_items, neg_items = batch
         k_drop, k_fwd = jax.random.split(key)
         keep = 1.0 - self.cfg.edge_dropout
-        if g.send_perm is not None:
-            # hash mask: evaluable in both edge orders without a gather
-            mask = hash_edge_mask(k_drop, jnp.arange(g.num_edges), keep)
-            mask_send = hash_edge_mask(k_drop, g.send_perm, keep)
-        else:
-            mask = edge_drop_mask(k_drop, g.num_edges, keep)
-            mask_send = None
+        mask, mask_send = self._drop_masks(k_drop, g, keep)
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
                                           edge_mask=mask,
                                           edge_mask_send=mask_send,
