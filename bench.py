@@ -33,31 +33,37 @@ R, E, Q, K = 262_144, 128, 2048, 10
 WARMUP, ITERS = 3, 50
 EDGE_ITERS = 20
 
-# dense bf16 peak FLOP/s by device_kind substring (public TPU specs)
-_PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12),
-          ("v3", 123e12), ("v2", 45e12))
+# dense bf16 peak FLOP/s and HBM bandwidth by device_kind substring
+# (public TPU specs)
+_PEAKS = (("v6", 918e12, 1640e9), ("v5p", 459e12, 2765e9),
+          ("v5", 197e12, 819e9), ("v4", 275e12, 1228e9),
+          ("v3", 123e12, 900e9), ("v2", 45e12, 700e9))
 
 
-def chip_peak_flops():
+def chip_peaks():
     import jax
     kind = jax.devices()[0].device_kind.lower()
-    for sub, peak in _PEAKS:
+    for sub, flops, bw in _PEAKS:
         if sub in kind:
-            return peak
-    return None
+            return flops, bw
+    return None, None
 
 
-def compiled_flops(fn, *args):
-    """XLA's own FLOP count for one call (None if unavailable)."""
+def compiled_costs(fn, *args):
+    """XLA's (flops, bytes accessed) for one call (None if unavailable)."""
     try:
         import jax
         ca = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        f = ca.get("flops") if ca else None
-        return float(f) if f and f > 0 else None
+        if not ca:
+            return None, None
+        f = ca.get("flops")
+        b = ca.get("bytes accessed")
+        return (float(f) if f and f > 0 else None,
+                float(b) if b and b > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 def bench_tpu():
@@ -125,7 +131,7 @@ def bench_tpu():
         totals.append(time.perf_counter() - t0)
     dt = max((min(totals) - roundtrip) / ITERS, 1e-9)
 
-    flops = compiled_flops(retrieve, queries, keys_n, values)
+    flops, _ = compiled_costs(retrieve, queries, keys_n, values)
     if flops is None:
         flops = 2.0 * Q * R * E  # the score matmul dominates
     return Q / dt, recall, dt, flops / dt, roundtrip
@@ -206,8 +212,9 @@ def bench_edge_step(roundtrip):
         float(chain(params, opt_state, g, batch, key))
         totals.append(time.perf_counter() - t0)
     dt = max((min(totals) - roundtrip) / EDGE_ITERS, 1e-9)
-    flops = compiled_flops(step, params, opt_state, g, batch, key)
-    return dt, (flops / dt if flops else None)
+    flops, bytes_acc = compiled_costs(step, params, opt_state, g, batch, key)
+    return dt, (flops / dt if flops else None), \
+        (bytes_acc / dt if bytes_acc else None)
 
 
 def bench_torch_cpu():
@@ -236,20 +243,22 @@ def bench_torch_cpu():
 
 def main():
     tpu_qps, recall, dt, flops_s, roundtrip = bench_tpu()
-    edge_dt, edge_flops_s = bench_edge_step(roundtrip)
+    edge_dt, edge_flops_s, edge_bytes_s = bench_edge_step(roundtrip)
     cpu_qps = bench_torch_cpu()
     speedup = tpu_qps / cpu_qps
 
-    peak = chip_peak_flops()
+    peak, peak_bw = chip_peaks()
     mfu = round(flops_s / peak, 4) if peak else None
-    edge_mfu = (round(edge_flops_s / peak, 4)
-                if peak and edge_flops_s else None)
+    # the edge step is gather/bandwidth-bound, so its utilization metric
+    # is achieved HBM bytes/s over peak, not FLOP/s
+    edge_bwu = (round(edge_bytes_s / peak_bw, 4)
+                if peak_bw and edge_bytes_s else None)
     print(f"# R={R} E={E} Q={Q} k={K}: TPU {tpu_qps:,.0f} q/s "
           f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}, "
           f"{flops_s/1e12:.1f} TFLOP/s = {mfu} MFU); "
           f"edge train step {edge_dt*1e3:.2f} ms "
-          f"({(edge_flops_s or 0)/1e12:.2f} TFLOP/s = {edge_mfu} MFU); "
-          f"torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
+          f"({(edge_bytes_s or 0)/1e9:.0f} GB/s = {edge_bwu} of peak HBM "
+          f"bw); torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
     print(json.dumps({
         "metric": "retrieval_qps",
         "value": round(tpu_qps, 1),
@@ -257,7 +266,7 @@ def main():
         "vs_baseline": round(speedup, 2),
         "mfu": mfu,
         "edge_step_ms": round(edge_dt * 1e3, 3),
-        "edge_step_mfu": edge_mfu,
+        "edge_step_bw_util": edge_bwu,
     }))
 
 
