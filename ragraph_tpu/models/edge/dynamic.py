@@ -22,9 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ragraph_tpu.models.edge.base import (bpr_loss, edge_drop_mask,
-                                          hash_edge_mask,
-                                          lightgcn_propagate, reg_loss_emb)
+from ragraph_tpu.models.edge.base import (bpr_loss, lightgcn_propagate,
+                                          reg_loss_emb)
 from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN
 
 
@@ -136,13 +135,8 @@ class DynamicBase(TemporalLightGCN):
     def _bpr_step(self, params, batch, key, forward_fn, graph=None):
         g = self.graph if graph is None else graph
         users, pos_items, neg_items = batch
-        keep = 1.0 - self.cfg.edge_dropout
-        if g.send_perm is not None:
-            mask = hash_edge_mask(key, jnp.arange(g.num_edges), keep)
-            mask_send = hash_edge_mask(key, g.send_perm, keep)
-        else:
-            mask = edge_drop_mask(key, g.num_edges, keep)
-            mask_send = None
+        mask, mask_send = self._drop_masks(key, g,
+                                           1.0 - self.cfg.edge_dropout)
         user_emb, item_emb = forward_fn(params, edge_mask=mask,
                                         edge_mask_send=mask_send)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
@@ -172,12 +166,13 @@ class Roland(DynamicBase):
         """Layerwise embeddings [(N, E)] of the meta model (lgn path)."""
         self.meta_layers = [jax.lax.stop_gradient(m) for m in meta_layers]
 
-    def forward_lgn(self, params, *, edge_mask=None, return_layers=False,
-                    graph=None, **_):
+    def forward_lgn(self, params, *, edge_mask=None, edge_mask_send=None,
+                    return_layers=False, graph=None, **_):
         g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
-        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g,
+                                    edge_mask_send=edge_mask_send)
         if return_layers:
             return layers
         res = sum(layers)
@@ -226,13 +221,14 @@ class EvolveGCNH(DynamicBase):
         self.last_emb = jax.lax.stop_gradient(last_emb)
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                graph=None, **_):
+                edge_mask_send=None, graph=None, **_):
         assert self.last_emb is not None, "call set_last_emb first"
         g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
         all_emb = gru_cell(params["gru"], all_emb, self.last_emb)
-        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g,
+                                    edge_mask_send=edge_mask_send)
         res = sum(layers)
         return res[: g.num_users], res[g.num_users:]
 
@@ -255,12 +251,13 @@ class EvolveGCNO(DynamicBase):
         return params
 
     def forward(self, params, *, key=None, training=False, edge_mask=None,
-                graph=None, **_):
+                edge_mask_send=None, graph=None, **_):
         g = self.graph if graph is None else graph
         all_emb = jnp.concatenate([params["user_embedding"],
                                    params["item_embedding"]], axis=0)
         all_emb = gru_cell(params["gru"], all_emb, all_emb)
-        layers = self._plain_layers(params, edge_mask, all_emb, graph=g)
+        layers = self._plain_layers(params, edge_mask, all_emb, graph=g,
+                                    edge_mask_send=edge_mask_send)
         res = sum(layers)
         return res[: g.num_users], res[g.num_users:]
 
