@@ -221,6 +221,8 @@ def run_vanilla():
 
 
 if __name__ == "__main__":
+    from ragraph_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode in ("pretrain", "all"):
         run_pretrain()

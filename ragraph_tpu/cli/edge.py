@@ -204,6 +204,8 @@ def run_vanilla(args):
 
 
 def main(argv=None):
+    from ragraph_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.mode == "pretrain":
         return run_pretrain(args)

@@ -45,6 +45,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from ragraph_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     import jax.random as jr

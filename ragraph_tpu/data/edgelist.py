@@ -146,7 +146,8 @@ def load_edge_dataset(train, test, hour_interval: float = 1.0,
                       num_users: int | None = None,
                       num_items: int | None = None,
                       user_hist: list | None = None,
-                      phase: str = "pretrain") -> EdgeDataset:
+                      phase: str = "pretrain",
+                      pad_edges_to: int | None = None) -> EdgeDataset:
     """Build an :class:`EdgeDataset`.
 
     Args:
@@ -154,6 +155,9 @@ def load_edge_dataset(train, test, hour_interval: float = 1.0,
         ``(user, item)`` rows.
       user_hist: extra interaction row-lists (prior stages) appended to the
         history dict for eval masking (``dataloader.py:126-135``).
+      pad_edges_to: pad the BIDIRECTIONAL edge arrays to this length with
+        inert zero-weight edges, so differently-sized graphs (temporal
+        stages) share one compiled step.
     """
     train_rows = parse_edge_file(train, has_time)
     test_rows = (parse_edge_file(test, has_time=False)
@@ -211,6 +215,25 @@ def load_edge_dataset(train, test, hour_interval: float = 1.0,
     edge_norm = edge_norm[order]
     edge_times_bi = edge_times_bi[order]
     n_nodes = num_users + num_items
+
+    if pad_edges_to is not None and pad_edges_to > len(senders):
+        # inert padding edges: zero binorm weight (nothing propagates) and
+        # the maximum node id on both ends (receiver sortedness is kept and
+        # the sender-order auxiliaries put them last too). The static time
+        # softmax skips zero-weight edges (EdgeGraphArrays.from_dataset)
+        # and the renorm path masks them (TemporalLightGCN._edge_weights).
+        # Padding every temporal stage to one bucket means ONE compiled
+        # train/eval step serves the whole staged loop.
+        pad = pad_edges_to - len(senders)
+        senders = np.concatenate(
+            [senders, np.full(pad, n_nodes - 1, np.int32)])
+        receivers = np.concatenate(
+            [receivers, np.full(pad, n_nodes - 1, np.int32)])
+        edge_norm = np.concatenate([edge_norm,
+                                    np.zeros(pad, edge_norm.dtype)])
+        edge_times_bi = np.concatenate([edge_times_bi,
+                                        np.zeros(pad, np.int32)])
+
     recv_counts = np.bincount(receivers, minlength=n_nodes)
     recv_indptr = np.zeros(n_nodes + 1, np.int32)
     recv_indptr[1:] = np.cumsum(recv_counts)

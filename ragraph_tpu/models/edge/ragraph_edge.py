@@ -108,12 +108,16 @@ class EdgeGraphArrays:
         sip[1:] = np.cumsum(np.bincount(send, minlength=n_nodes))
 
         # static time softmax (RAGraph.py:250-263 semantics on the full
-        # graph), exact in f64
+        # graph), exact in f64; zero-weight padding edges are excluded
         t = np.asarray(ds.edge_times_bi, np.float64)
-        span = max(t.max() - t.min(), 1e-12) if t.size else 1.0
-        e = np.exp((t - (t.min() if t.size else 0.0)) / span)
+        realm = norm > 0
+        tr = t[realm] if realm.any() else t
+        tmin = tr.min() if tr.size else 0.0
+        span = max((tr.max() - tmin), 1e-12) if tr.size else 1.0
+        e = np.where(realm, np.exp((t - tmin) / span), 0.0)
         denom = np.bincount(recv, weights=e, minlength=n_nodes)
-        tn = (e / np.maximum(denom[recv], 1e-300)).astype(np.float32)
+        tn = np.where(realm, e / np.maximum(denom[recv], 1e-300),
+                      0.0).astype(np.float32)
 
         return cls(senders=jnp.asarray(ds.senders),
                    receivers=jnp.asarray(ds.receivers),
@@ -236,9 +240,13 @@ class TemporalLightGCN:
                 if impl == "fused":
                     w_send = jnp.where(edge_mask_send, w_send, 0.0)
             if self.use_time:
+                # zero-weight padding edges must not receive softmax mass
+                pad_valid = g.edge_norm > 0
+                tmask = (pad_valid if edge_mask is None
+                         else pad_valid & edge_mask)
                 tn = relative_time_encoding(
                     g.edge_times, g.receivers, g.num_nodes,
-                    edge_mask=edge_mask, max_step=max_time_step)
+                    edge_mask=tmask, max_step=max_time_step)
                 weights = weights * 0.5 + tn * 0.5
         return weights, w_send, impl
 

@@ -97,6 +97,9 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
     tables = dict(pretrain_tables)
     meta_params = None
     last_emb = None
+    # one edge-array shape across stages -> one compiled step (see
+    # staged_finetune)
+    ft_bucket = -((-2 * max(len(r) for r in all_rows[1:-1])) // 4096) * 4096
 
     for stage in range(1, len(stage_rows) + 1):
         k_stage = jax.random.fold_in(key, stage)
@@ -105,7 +108,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
             all_rows[ft_idx], stage_rows[stage - 1],
             hour_interval=hour_interval, num_users=num_users,
             num_items=num_items, phase="finetune",
-            user_hist=all_rows[:ft_idx])
+            user_hist=all_rows[:ft_idx], pad_edges_to=ft_bucket)
 
         model = model_cls(cfg_factory("finetune"),
                           EdgeGraphArrays.from_dataset(ft_dataset),
@@ -185,6 +188,16 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
     saved_tables: list[dict] = []
     recalls, ndcgs = [], []
 
+    def _bucket(n_rows: int) -> int:
+        # bidirectional edges, rounded up so every stage hits one bucket
+        return -((-2 * n_rows) // 4096) * 4096
+
+    # pad every stage's graphs to the largest stage's bucket: the edge
+    # arrays then have ONE shape across the staged loop, so the train /
+    # generate / eval programs compile once instead of once per stage
+    prompt_bucket = _bucket(len(merge_rows(all_rows)))
+    ft_bucket = _bucket(max(len(r) for r in all_rows[1:-1]) or 1)
+
     for stage in range(1, len(stage_rows) + 1):
         k_stage = jax.random.fold_in(key, stage)
         test_idx = stage + 1
@@ -200,7 +213,8 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         prompt_rows = merge_rows(all_rows[:ft_idx + 1])
         pre_dataset = load_edge_dataset(
             prompt_rows, all_rows[ft_idx], hour_interval=hour_interval,
-            num_users=num_users, num_items=num_items)
+            num_users=num_users, num_items=num_items,
+            pad_edges_to=prompt_bucket)
 
         pre_model = model_cls(cfg_factory("for_tune"),
                               EdgeGraphArrays.from_dataset(pre_dataset),
@@ -214,7 +228,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
             all_rows[ft_idx], stage_rows[stage - 1],
             hour_interval=hour_interval, num_users=num_users,
             num_items=num_items, phase="finetune",
-            user_hist=all_rows[:ft_idx])
+            user_hist=all_rows[:ft_idx], pad_edges_to=ft_bucket)
 
         model = model_cls(cfg_factory("finetune"),
                           EdgeGraphArrays.from_dataset(ft_dataset),

@@ -3,3 +3,4 @@ from ragraph_tpu.utils.native import (  # noqa: F401
     build_csr_native,
 )
 from ragraph_tpu.utils.seed import seed_everything  # noqa: F401
+from ragraph_tpu.utils.compile_cache import enable_compilation_cache  # noqa: F401

@@ -439,3 +439,65 @@ class TestFusedPropagation:
         np.testing.assert_allclose(np.asarray(g1["item_embedding"]),
                                    np.asarray(g2["item_embedding"]),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestEdgePadding:
+    """Zero-weight padding edges (pad_edges_to) must be inert: forwards,
+    losses, and the static time softmax unchanged."""
+
+    def test_padded_graph_matches_unpadded(self, dataset):
+        import dataclasses as dc
+        from ragraph_tpu.data.edgelist import load_edge_dataset
+        from ragraph_tpu.data.synthetic import synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+
+        train, stages = synthetic_edge_stream(seed=3, num_users=40,
+                                              num_items=60, num_stages=1,
+                                              interactions_per_user=5)
+        test = [(u, i) for (u, i, _) in stages[0]]
+        ds1 = load_edge_dataset(train, test)
+        n_real = len(ds1.senders)
+        ds2 = load_edge_dataset(train, test, pad_edges_to=n_real + 96)
+        assert len(ds2.senders) == n_real + 96
+
+        g1 = EdgeGraphArrays.from_dataset(ds1)
+        g2 = EdgeGraphArrays.from_dataset(ds2)
+        # static time softmax identical on real edges, zero on pads
+        np.testing.assert_allclose(np.asarray(g2.time_norm)[:n_real],
+                                   np.asarray(g1.time_norm), rtol=1e-6)
+        assert np.all(np.asarray(g2.time_norm)[n_real:] == 0)
+
+        for time_mode in ("static", "renorm"):
+            cfg = EdgeModelConfig(emb_size=16, num_layers=2,
+                                  edge_dropout=0.0, propagate_dtype="f32",
+                                  time_mode=time_mode)
+            m1 = GraphPro(cfg, g1, phase="pretrain")
+            m2 = GraphPro(cfg, g2, phase="pretrain")
+            params = m1.init_params(jr.key(0))
+            u1, i1 = m1.forward(params)
+            u2, i2 = m2.forward(params)
+            np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=time_mode)
+            np.testing.assert_allclose(np.asarray(i2), np.asarray(i1),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=time_mode)
+
+    def test_staged_buckets_share_one_shape(self):
+        """All staged fine-tune datasets pad to one edge-array shape."""
+        from ragraph_tpu.data.edgelist import load_edge_dataset
+        from ragraph_tpu.data.synthetic import synthetic_edge_stream
+
+        train, stages = synthetic_edge_stream(seed=4, num_users=30,
+                                              num_items=50, num_stages=3,
+                                              interactions_per_user=4)
+        bucket = 4096
+        shapes = set()
+        for s in range(len(stages) - 1):
+            ds = load_edge_dataset([(u, i, t) for (u, i, t) in stages[s]],
+                                   [(u, i) for (u, i, _) in stages[s + 1]],
+                                   num_users=30, num_items=50,
+                                   pad_edges_to=bucket)
+            shapes.add(ds.senders.shape)
+        assert shapes == {(bucket,)}
