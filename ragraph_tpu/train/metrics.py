@@ -116,37 +116,43 @@ class RankingEvaluator:
         if num_users == 0:
             return result
 
+        method = self.topk_method
+        if method == "auto":
+            method = "approx" if num_items >= 32_768 else "exact"
+
+        # dispatch every batch asynchronously and pull ALL top-k ids in a
+        # single device->host transfer at the end (the tunneled-TPU setup
+        # pays a large fixed latency per transfer)
+        topks = []
         for s in range(0, num_users, self.eval_batch_size):
             batch_users = users[s:s + self.eval_batch_size]
             ue = user_emb[jnp.asarray(np.asarray(batch_users, np.int32))]
             rows, cols = _pad_history(batch_users, user_hist_dict, num_items)
-            method = self.topk_method
-            if method == "auto":
-                method = "approx" if num_items >= 32_768 else "exact"
-            topk = np.asarray(_rate_and_topk(
+            topks.append(_rate_and_topk(
                 ue, item_emb, jnp.asarray(rows), jnp.asarray(cols), max_k,
                 method=method))
+        all_topk = np.asarray(jnp.concatenate(topks, axis=0))
 
-            # hit matrix vs ground truth (host, ragged)
-            hits = np.zeros((len(batch_users), max_k), np.float32)
-            test_lens = np.zeros(len(batch_users), np.float32)
-            for r, u in enumerate(batch_users):
-                gt = set(test_user_dict[int(u)])
-                test_lens[r] = len(gt)
-                for c in range(max_k):
-                    if topk[r, c] in gt:
-                        hits[r, c] = 1.0
+        # hit matrix vs ground truth (host, ragged)
+        hits = np.zeros((num_users, max_k), np.float32)
+        test_lens = np.zeros(num_users, np.float32)
+        for r, u in enumerate(users):
+            gt = set(test_user_dict[int(u)])
+            test_lens[r] = len(gt)
+            for c in range(max_k):
+                if all_topk[r, c] in gt:
+                    hits[r, c] = 1.0
 
-            for ki, k in enumerate(self.ks):
-                for m in self.metrics:
-                    if m == "recall":
-                        result[m][ki] += recall_at_k(hits, test_lens, k)
-                    elif m == "ndcg":
-                        result[m][ki] += ndcg_at_k(hits, test_lens, k)
-                    elif m == "precision":
-                        result[m][ki] += precision_at_k(hits, k)
-                    elif m == "mrr":
-                        result[m][ki] += mrr_at_k(hits, k)
+        for ki, k in enumerate(self.ks):
+            for m in self.metrics:
+                if m == "recall":
+                    result[m][ki] = recall_at_k(hits, test_lens, k)
+                elif m == "ndcg":
+                    result[m][ki] = ndcg_at_k(hits, test_lens, k)
+                elif m == "precision":
+                    result[m][ki] = precision_at_k(hits, k)
+                elif m == "mrr":
+                    result[m][ki] = mrr_at_k(hits, k)
 
         for m in self.metrics:
             result[m] = result[m] / num_users
