@@ -29,7 +29,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cumsum_kernel(x_ref, out_ref, carry, *, block: int):
+def _tri(n, dtype):
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (col <= row).astype(dtype)
+
+
+def _cumsum_body(x, out_ref, total_ref, carry, *, exclusive: bool,
+                 matmul_bf16: bool, sub: int | None = None):
+    """In-block prefix sum on the MXU with a lower-triangular ones matrix
+    (beats a log-step VPU scan by ~an order of magnitude), plus a carried
+    (1, D) running total.
+
+    ``matmul_bf16`` runs the triangular matmuls with bf16 inputs (f32
+    accumulate) — 4x the f32 MXU rate on v5e; the tri matrix is exact in
+    bf16 and the inputs are bf16-rounded (same numerics as feeding bf16
+    messages, which is what the fused propagation always did).
+
+    ``sub`` enables a two-level scan: tri matmuls over ``sub``-row
+    sub-blocks plus one tri matmul over the sub-totals — total MXU work
+    drops from E·block·D to E·sub·D (+ tiny combine), which matters
+    because the one-level form is MXU-bound at production sizes.
+
+    ``exclusive`` writes the EXCLUSIVE prefix (sum of rows < i) and the
+    grand total to ``total_ref`` — the segment-sum consumer then needs no
+    zero-row concatenate (measured 9.9 ms per step of pure copy at
+    2M x 64 f32 on v5e) and no +1 input padding copy.
+    """
+    block = x.shape[0]
+    xm = x.astype(jnp.bfloat16) if matmul_bf16 else x
+    if sub is None or sub >= block:
+        incl = jnp.dot(_tri(block, xm.dtype), xm,
+                       preferred_element_type=jnp.float32)
+    else:
+        ns = block // sub
+        tri_s = _tri(sub, xm.dtype)
+        parts = [jnp.dot(tri_s, xm[i * sub:(i + 1) * sub],
+                         preferred_element_type=jnp.float32)
+                 for i in range(ns)]
+        subtot = jnp.concatenate([p[-1:, :] for p in parts], axis=0)
+        # exclusive scan of the (ns, D) sub-totals
+        off = jnp.dot(_tri(ns, jnp.float32), subtot,
+                      preferred_element_type=jnp.float32) - subtot
+        incl = jnp.concatenate(
+            [p + off[i:i + 1, :] for i, p in enumerate(parts)], axis=0)
+    c = carry[:]
+    if exclusive:
+        out_ref[:] = c + (incl - xm.astype(jnp.float32))
+    else:
+        out_ref[:] = c + incl
+    new_c = c + incl[-1:, :]
+    carry[:] = new_c
+    if total_ref is not None:
+        total_ref[:] = new_c
+
+
+def _cumsum_kernel(x_ref, out_ref, total_ref, carry, *, exclusive: bool,
+                   matmul_bf16: bool, sub: int | None = None):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -37,38 +93,95 @@ def _cumsum_kernel(x_ref, out_ref, carry, *, block: int):
         carry[:] = jnp.zeros_like(carry)
 
     x = x_ref[:].astype(jnp.float32)               # (block, D)
-    # in-block inclusive prefix sum as ONE MXU matmul with a
-    # lower-triangular ones matrix: cum = L @ x (beats a log-step VPU
-    # scan by ~an order of magnitude in passes)
-    row = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    tri = (col <= row).astype(jnp.float32)
-    cum = jnp.dot(tri, x, preferred_element_type=jnp.float32)
-    cum = cum + carry[:]
-    out_ref[:] = cum
-    carry[:] = cum[-1:, :]
+    _cumsum_body(x, out_ref, total_ref, carry, exclusive=exclusive,
+                 matmul_bf16=matmul_bf16, sub=sub)
+
+
+def _cumsum_scale_kernel(x_ref, w_ref, out_ref, total_ref, carry, *,
+                         exclusive: bool, matmul_bf16: bool,
+                         sub: int | None = None):
+    """Cumsum of ``x * w`` — the per-edge scale rides the streaming pass
+    for free instead of being fused into the XLA row gather (a fused
+    gather+scale runs ~1.6x slower than the pure bf16 gather: 8.4 vs
+    5.2 ms for 2M x 64 rows on v5e)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    x = x_ref[:].astype(jnp.float32) * w_ref[:].astype(jnp.float32)
+    _cumsum_body(x, out_ref, total_ref, carry, exclusive=exclusive,
+                 matmul_bf16=matmul_bf16, sub=sub)
+
+
+def _cumsum_call(x, w, *, block: int, interpret: bool, exclusive: bool,
+                 matmul_bf16: bool, with_total: bool,
+                 sub: int | None = None):
+    n, d = x.shape
+    pad = (-n) % block
+    x_in = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    ins = [x_in]
+    in_specs = [pl.BlockSpec((block, d), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM)]
+    if w is not None:
+        w_in = w.reshape(n, 1)
+        if pad:
+            w_in = jnp.pad(w_in, ((0, pad), (0, 0)))
+        ins.append(w_in)
+        in_specs.append(pl.BlockSpec((block, 1), lambda j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        kernel = _cumsum_scale_kernel
+    else:
+        kernel = _cumsum_kernel
+    if not with_total:
+        kernel = functools.partial(_no_total, kernel)
+    out_specs = [pl.BlockSpec((block, d), lambda j: (j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(x_in.shape, jnp.float32)]
+    if with_total:
+        out_specs.append(pl.BlockSpec((1, d), lambda j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, d), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(kernel, exclusive=exclusive,
+                          matmul_bf16=matmul_bf16, sub=sub),
+        grid=(x_in.shape[0] // block,),
+        in_specs=in_specs,
+        out_specs=out_specs if with_total else out_specs[0],
+        out_shape=out_shape if with_total else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
+        interpret=interpret,
+    )(*ins)
+    return res if with_total else (res, None)
+
+
+def _no_total(kernel, *refs, **kw):
+    *ins, out_ref, carry = refs
+    return kernel(*ins, out_ref, None, carry, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def streaming_cumsum(x: jax.Array, block: int = 512,
                      interpret: bool = False) -> jax.Array:
     """Inclusive prefix sum over axis 0 (f32 out), Pallas streaming."""
-    n, d = x.shape
-    pad = (-n) % block
-    x_in = jnp.pad(x, ((0, pad), (0, 0)))
-    grid = (x_in.shape[0] // block,)
-    out = pl.pallas_call(
-        functools.partial(_cumsum_kernel, block=block),
-        grid=grid,
-        in_specs=[pl.BlockSpec((block, d), lambda j: (j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((block, d), lambda j: (j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x_in.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
-        interpret=interpret,
-    )(x_in)
-    return out[:n]
+    out, _ = _cumsum_call(x, None, block=block, interpret=interpret,
+                          exclusive=False, matmul_bf16=False,
+                          with_total=False)
+    return out[:x.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def streaming_cumsum_scaled(x: jax.Array, w: jax.Array, block: int = 512,
+                            interpret: bool = False) -> jax.Array:
+    """Inclusive prefix sum of ``x * w[:, None]`` (f32), one fused pass.
+
+    ``w`` is the per-row scale, shape ``(n,)``.
+    """
+    out, _ = _cumsum_call(x, w, block=block, interpret=interpret,
+                          exclusive=False, matmul_bf16=False,
+                          with_total=False)
+    return out[:x.shape[0]]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
@@ -87,11 +200,222 @@ def sorted_segment_sum_indptr(msgs: jax.Array, indptr: jax.Array,
     prefix-diff formulation cancels large partial sums, so very long
     segments see ~1e-3 relative f32 error).
     """
-    cum = streaming_cumsum(msgs, block=block, interpret=interpret)
-    zero = jnp.zeros((1, msgs.shape[1]), jnp.float32)
-    cum0 = jnp.concatenate([zero, cum], axis=0)   # exclusive at index i
-    g = cum0[indptr]                              # ONE (N+1, D) gather
+    excl, total = _cumsum_call(msgs, None, block=block, interpret=interpret,
+                               exclusive=True, matmul_bf16=False,
+                               with_total=True)
+    return _boundary_diff_excl(excl, total, indptr, msgs.shape[0])
+
+
+def _boundary_diff_excl(excl, total, indptr, n):
+    """Per-segment sums from the exclusive prefix + grand total.
+
+    ``excl`` may be longer than ``n`` (block padding). The boundary value
+    at position ``n`` (end of the last segment) is the grand total, taken
+    from the kernel's dedicated ``total`` output, so no zero-row
+    concatenate and no +1 input padding is needed.
+    """
+    g = excl[jnp.minimum(indptr, n - 1)]          # ONE (N+1, D) gather
+    g = jnp.where((indptr == n)[:, None], total[0], g)
     return g[1:] - g[:-1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block", "matmul_bf16"))
+def sorted_segment_sum_scaled(msgs: jax.Array, w: jax.Array,
+                              indptr: jax.Array, block: int = 512,
+                              matmul_bf16: bool = False,
+                              interpret: bool = False) -> jax.Array:
+    """Segment sum of ``msgs * w[:, None]`` (rows sorted by segment) with
+    the scale fused into the streaming pass.
+
+    ``matmul_bf16`` runs the in-block triangular matmul with bf16 inputs
+    (4x the f32 MXU rate on v5e; the scaled messages are bf16-rounded
+    before the MXU, matching the historical bf16-message path)."""
+    excl, total = _cumsum_call(msgs, w, block=block, interpret=interpret,
+                               exclusive=True, matmul_bf16=matmul_bf16,
+                               with_total=True)
+    return _boundary_diff_excl(excl, total, indptr, msgs.shape[0])
+
+
+def _packed_scan_kernel(x_ref, out_ref, total_ref, carry, *, half: int,
+                        matmul_bf16: bool):
+    """Dual-half exclusive scan at full lane width.
+
+    Reads ``(2·half, D)`` rows (D = 64 on this model family), lane-concats
+    the two consecutive halves into ``(half, 2D)``, runs ONE full-width
+    triangular matmul, and writes the exclusive prefix PACKED as
+    ``(half, 2D)`` f32: row i = [excl(left_i) | excl(right_i)].
+
+    Why: Mosaic DMAs for 64-lane blocks run at ~143 GB/s on v5e vs
+    ~350 GB/s for the same bytes at 128 lanes (measured: 5.2 vs 2.2 ms
+    for the 2M x 64 bf16 -> f32 copy). Packing the f32 output (2/3 of
+    the traffic) recovers most of the loss; the input stays 64-lane.
+    """
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    x = x_ref[:]
+    if matmul_bf16:
+        x = x.astype(jnp.bfloat16)
+    xl, xr = x[:half], x[half:]
+    xc = jnp.concatenate([xl, xr], axis=1)         # (half, 2D)
+    incl = jnp.dot(_tri(half, xc.dtype), xc,
+                   preferred_element_type=jnp.float32)
+    d = xl.shape[1]
+    t_l = incl[-1:, :d]                            # left-half total
+    t_r = incl[-1:, d:]
+    c = carry[:]
+    offset = jnp.concatenate([c, c + t_l], axis=1)  # (1, 2D)
+    out_ref[:] = offset + (incl - xc.astype(jnp.float32))
+    new_c = c + t_l + t_r
+    carry[:] = new_c
+    total_ref[:] = new_c
+
+
+def _packed_scan_w_kernel(x_ref, w_ref, out_ref, total_ref, carry, *,
+                          half: int, matmul_bf16: bool):
+    """Dual-half exclusive scan of ``x * w`` with the per-row scale FOLDED
+    INTO the triangular matrix.
+
+    ``w`` arrives lane-major as a ``(1, 2·half)`` row — scaling the
+    triangle's *columns* broadcasts it along sublanes, which is free; any
+    formulation that scales the rows of ``x`` directly needs the weights
+    sublane-major, and that 1D->column relayout costs ~2 ms per 2M-edge
+    pass on v5e (it shows up as convert/reshape ops in the profile).
+
+    A STRICT triangle (col < row) yields the exclusive prefix directly:
+    ``excl = (tri_strict ⊙ w) @ x`` — no inclusive-minus-row correction,
+    and with bf16 inputs the w·x products accumulate in f32 unrounded.
+    """
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    x = x_ref[:]
+    w = w_ref[:]          # (2·half/128, 128) — natural 1D lane tiling
+    if matmul_bf16:
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    xl, xr = x[:half], x[half:]
+    nt = half // 128      # lane tiles per half
+    wl, wr = w[:nt], w[nt:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (half, half), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (half, half), 1)
+    tris = (col < row).astype(x.dtype)
+
+    def scaled_tri(wh):
+        # scale the triangle's columns by w: per 128-column group this is
+        # a (1, 128) sublane broadcast, which is free — w never needs the
+        # expensive lane->sublane relayout
+        return jnp.concatenate(
+            [tris[:, r * 128:(r + 1) * 128] * wh[r:r + 1, :]
+             for r in range(nt)], axis=1)
+
+    def wsum(wh, xh):      # (1, D) total of w·x over the half
+        return sum(jnp.dot(wh[r:r + 1, :], xh[r * 128:(r + 1) * 128],
+                           preferred_element_type=jnp.float32)
+                   for r in range(nt))
+
+    excl_l = jnp.dot(scaled_tri(wl), xl, preferred_element_type=jnp.float32)
+    excl_r = jnp.dot(scaled_tri(wr), xr, preferred_element_type=jnp.float32)
+    t_l = wsum(wl, xl)
+    t_r = wsum(wr, xr)
+    c = carry[:]
+    out_ref[:] = jnp.concatenate([c + excl_l, (c + t_l) + excl_r], axis=1)
+    new_c = (c + t_l) + t_r
+    carry[:] = new_c
+    total_ref[:] = new_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "matmul_bf16", "interpret"))
+def sorted_segment_sum_packed_w(msgs: jax.Array, w: jax.Array,
+                                indptr: jax.Array, block: int = 512,
+                                matmul_bf16: bool = True,
+                                interpret: bool = False) -> jax.Array:
+    """Segment sum of ``msgs * w[:, None]`` (rows sorted by segment) via
+    the packed dual-half scan with in-triangle weighting — the hot path
+    of the fused LightGCN propagation (raw gathered rows in, no separate
+    scale pass)."""
+    n, d = msgs.shape
+    assert block % 128 == 0, "packed_w scan needs block % 128 == 0"
+    two = 2 * block
+    pad = (-n) % two
+    x_in = jnp.pad(msgs, ((0, pad), (0, 0))) if pad else msgs
+    w_in = jnp.pad(w, (0, pad)) if pad else w
+    npad = x_in.shape[0]
+    w2 = w_in.reshape(npad // 128, 128)            # natural 1D lane tiling
+    excl, total = pl.pallas_call(
+        functools.partial(_packed_scan_w_kernel, half=block,
+                          matmul_bf16=matmul_bf16),
+        grid=(npad // two,),
+        in_specs=[pl.BlockSpec((two, d), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((two // 128, 128), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((block, 2 * d), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, d), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((npad // 2, 2 * d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
+        interpret=interpret,
+    )(x_in, w2)
+    return _packed_boundary(excl, total, indptr, n, block, d)
+
+
+def _packed_boundary(excl, total, indptr, n, block, d):
+    # boundary lookup: position p lives at packed row
+    # (p // 2B)·B + p % B, half (p // B) % 2
+    two = 2 * block
+    p = jnp.minimum(indptr, n - 1)
+    row = (p // two) * block + p % block
+    half = (p // block) % 2
+    g2 = excl[row]                                 # (N+1, 2D) gather
+    g = jnp.where((half == 1)[:, None], g2[:, d:], g2[:, :d])
+    g = jnp.where((indptr == n)[:, None], total[0], g)
+    return g[1:] - g[:-1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "matmul_bf16", "interpret"))
+def sorted_segment_sum_packed(msgs: jax.Array, indptr: jax.Array,
+                              block: int = 512, matmul_bf16: bool = True,
+                              interpret: bool = False) -> jax.Array:
+    """Segment sum of pre-scaled ``msgs`` (rows sorted by segment) via the
+    packed dual-half scan kernel (see ``_packed_scan_kernel``).
+
+    Requires ``msgs.shape[0]`` to be a multiple of ``2·block`` (pads with
+    zero rows otherwise, which costs a copy — production edge counts are
+    powers of two).
+    """
+    n, d = msgs.shape
+    two = 2 * block
+    pad = (-n) % two
+    x_in = jnp.pad(msgs, ((0, pad), (0, 0))) if pad else msgs
+    npad = x_in.shape[0]
+    excl, total = pl.pallas_call(
+        functools.partial(_packed_scan_kernel, half=block,
+                          matmul_bf16=matmul_bf16),
+        grid=(npad // two,),
+        in_specs=[pl.BlockSpec((two, d), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((block, 2 * d), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, d), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((npad // 2, 2 * d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
+        interpret=interpret,
+    )(x_in)
+    return _packed_boundary(excl, total, indptr, n, block, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -140,12 +464,19 @@ def _make_gather_scale_segsum(block: int, bf16: bool, interpret: bool):
     """
 
     def _run(emb, w, idx, indptr):
-        rows = emb.astype(jnp.bfloat16)[idx] if bf16 else emb[idx]
-        msgs = rows.astype(jnp.float32) * w[:, None]
         if bf16:
-            msgs = msgs.astype(jnp.bfloat16)
-        return sorted_segment_sum_indptr(msgs, indptr, block=block,
-                                         interpret=interpret)
+            # Barrier the cast so XLA materializes the bf16 table and the
+            # row gather stays PURE — XLA fusing convert/scale into the
+            # gather slows it ~1.6x (8.4 vs 5.2 ms at 2M x 64 rows on
+            # v5e, see experiments/gather_microbench.py). The per-edge
+            # scale happens inside the scan kernel's triangular matmul.
+            table = jax.lax.optimization_barrier(emb.astype(jnp.bfloat16))
+        else:
+            table = emb
+        rows = table[idx]
+        return sorted_segment_sum_packed_w(rows, w, indptr, block=block,
+                                           matmul_bf16=bf16,
+                                           interpret=interpret)
 
     @jax.custom_vjp
     def op(emb, w_recv, w_send, senders, recv_indptr, recv_of_send,
