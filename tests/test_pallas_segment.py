@@ -119,3 +119,55 @@ def test_hash_edge_mask_order_consistent():
     # different keys give different masks
     m2 = hash_edge_mask(jax.random.key(4), jnp.arange(4096), 0.8)
     assert bool((m != m2).any())
+
+
+@pytest.mark.parametrize("n_edges,n_segs,block", [
+    (512, 64, 128),      # n_edges exactly 2*block multiple, no pad
+    (1000, 300, 128),    # pad path (1000 % 256 != 0)
+    (700, 701, 128),     # many trailing empty segments (indptr == n runs)
+])
+def test_packed_w_segment_sum_matches_scatter(n_edges, n_segs, block):
+    """The packed dual-half scan with in-triangle weighting must match
+    segment_sum(msgs * w) including pad and trailing-empty-segment
+    boundary cases (indptr == n replaced by the kernel's total output)."""
+    from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_packed_w
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.integers(0, max(1, n_segs - 40), n_edges)).astype(
+        np.int32)
+    msgs = rng.normal(size=(n_edges, 16)).astype(np.float32)
+    w = rng.random(n_edges).astype(np.float32)
+    indptr = np.zeros(n_segs + 1, np.int64)
+    np.add.at(indptr[1:], ids, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+
+    ours = np.asarray(sorted_segment_sum_packed_w(
+        jnp.asarray(msgs), jnp.asarray(w), jnp.asarray(indptr),
+        block=block, matmul_bf16=False, interpret=INTERPRET))
+    ref = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(msgs * w[:, None]), jnp.asarray(ids),
+        num_segments=n_segs))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+    empty = np.setdiff1d(np.arange(n_segs), ids)
+    if len(empty):
+        assert np.all(ours[empty] == 0)
+
+
+def test_packed_segment_sum_prescaled_matches():
+    from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_packed
+
+    rng = np.random.default_rng(12)
+    n_edges, n_segs = 900, 120
+    ids = np.sort(rng.integers(0, n_segs, n_edges)).astype(np.int32)
+    msgs = rng.normal(size=(n_edges, 16)).astype(np.float32)
+    indptr = np.zeros(n_segs + 1, np.int64)
+    np.add.at(indptr[1:], ids, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+
+    ours = np.asarray(sorted_segment_sum_packed(
+        jnp.asarray(msgs), jnp.asarray(indptr), block=128,
+        matmul_bf16=False, interpret=INTERPRET))
+    ref = np.asarray(jax.ops.segment_sum(jnp.asarray(msgs),
+                                         jnp.asarray(ids),
+                                         num_segments=n_segs))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
