@@ -276,7 +276,8 @@ def _packed_scan_kernel(x_ref, out_ref, total_ref, carry, *, half: int,
 
 
 def _packed_scan_w_kernel(x_ref, w_ref, out_ref, total_ref, carry, *,
-                          half: int, matmul_bf16: bool):
+                          half: int, matmul_bf16: bool,
+                          packed_input: bool = False):
     """Dual-half exclusive scan of ``x * w`` with the per-row scale FOLDED
     INTO the triangular matrix.
 
@@ -301,7 +302,11 @@ def _packed_scan_w_kernel(x_ref, w_ref, out_ref, total_ref, carry, *,
     if matmul_bf16:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
-    xl, xr = x[:half], x[half:]
+    if packed_input:      # x is (half, 2D): [left-half edge | right-half]
+        d2 = x.shape[1] // 2
+        xl, xr = x[:, :d2], x[:, d2:]
+    else:                 # x is (2·half, D) consecutive rows
+        xl, xr = x[:half], x[half:]
     nt = half // 128      # lane tiles per half
     wl, wr = w[:nt], w[nt:]
     row = jax.lax.broadcasted_iota(jnp.int32, (half, half), 0)
@@ -367,6 +372,41 @@ def sorted_segment_sum_packed_w(msgs: jax.Array, w: jax.Array,
         scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
         interpret=interpret,
     )(x_in, w2)
+    return _packed_boundary(excl, total, indptr, n, block, d)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "block", "matmul_bf16",
+                                    "interpret"))
+def _segsum_packed2_w(msgs2: jax.Array, w: jax.Array, indptr: jax.Array,
+                      n: int, block: int = 512, matmul_bf16: bool = True,
+                      interpret: bool = False) -> jax.Array:
+    """Packed-input variant: ``msgs2`` is ``(n/2, 2D)`` in half-split
+    chunk layout (row c·B+i = [edge c·2B+i | edge c·2B+B+i]) — produced
+    by two half-gathers + a lane concat, which costs no more than the
+    plain row gather and feeds the scan full-width DMAs both directions.
+    ``w`` stays per-edge ``(n,)``; ``n`` must divide by ``2·block``.
+    """
+    d2 = msgs2.shape[1]
+    d = d2 // 2
+    assert n % (2 * block) == 0 and msgs2.shape[0] == n // 2
+    excl, total = pl.pallas_call(
+        functools.partial(_packed_scan_w_kernel, half=block,
+                          matmul_bf16=matmul_bf16, packed_input=True),
+        grid=(n // (2 * block),),
+        in_specs=[pl.BlockSpec((block, d2), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2 * block // 128, 128), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((block, d2), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, d), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n // 2, d2), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, d), jnp.float32)],
+        interpret=interpret,
+    )(msgs2, w.reshape(n // 128, 128))
     return _packed_boundary(excl, total, indptr, n, block, d)
 
 
@@ -473,6 +513,11 @@ def _make_gather_scale_segsum(block: int, bf16: bool, interpret: bool):
             table = jax.lax.optimization_barrier(emb.astype(jnp.bfloat16))
         else:
             table = emb
+        # NOTE (measured): pre-packing the gather output to (E/2, 2D) via
+        # two half-gathers + lane concat does NOT pay — XLA materializes
+        # the concat (+3.5 ms/pass at 2M x 64) and the packed-input kernel
+        # is no faster than reading the (2B, D) block directly
+        # (_segsum_packed2_w kept as the packed-input entry point).
         rows = table[idx]
         return sorted_segment_sum_packed_w(rows, w, indptr, block=block,
                                            matmul_bf16=bf16,

@@ -171,3 +171,30 @@ def test_packed_segment_sum_prescaled_matches():
                                          jnp.asarray(ids),
                                          num_segments=n_segs))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_segsum_packed2_w_matches_scatter():
+    """The packed-input scan entry point (msgs pre-packed to half-split
+    (E/2, 2D) layout) must match segment_sum(msgs * w)."""
+    from ragraph_tpu.ops.pallas_segment import _segsum_packed2_w
+
+    rng = np.random.default_rng(13)
+    n_edges, n_segs, d, block = 512, 96, 16, 128   # 512 % (2*128) == 0
+    ids = np.sort(rng.integers(0, n_segs, n_edges)).astype(np.int32)
+    msgs = rng.normal(size=(n_edges, d)).astype(np.float32)
+    w = rng.random(n_edges).astype(np.float32)
+    indptr = np.zeros(n_segs + 1, np.int64)
+    np.add.at(indptr[1:], ids, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+
+    # half-split pack: row c*B+i = [edge c*2B+i | edge c*2B+B+i]
+    m3 = msgs.reshape(n_edges // (2 * block), 2, block, d)
+    msgs2 = np.concatenate([m3[:, 0], m3[:, 1]], axis=2).reshape(
+        n_edges // 2, 2 * d)
+    ours = np.asarray(_segsum_packed2_w(
+        jnp.asarray(msgs2), jnp.asarray(w), jnp.asarray(indptr),
+        n_edges, block=block, matmul_bf16=False, interpret=INTERPRET))
+    ref = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(msgs * w[:, None]), jnp.asarray(ids),
+        num_segments=n_segs))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
