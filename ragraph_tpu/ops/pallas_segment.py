@@ -9,14 +9,20 @@ ids the reduction is expressible as
     cum = exclusive_prefix_sum(msgs)         # streaming, BW-bound
     out[s] = cum[end_s] - cum[start_s]       # two gathers
 
-The prefix sum here is a Pallas kernel: a sequential grid over row blocks,
-log-step in-block cumsum on the VPU (roll + masked add) plus a carried
-(1, D) running total in VMEM scratch — one read + one write of the data,
-i.e. bandwidth-bound.
+The production path (``gather_scale_segsum`` -> ``_packed_scan_w_kernel``)
+is a dual-half packed scan: read (2B, D) rows, one strict-triangle MXU
+matmul per half whose COLUMNS carry the per-edge weights (lane-major, no
+relayout), exclusive prefix written packed (B, 2D) f32 at full 128-lane
+DMA width, plus a separate (1, D) grand-total output so the boundary
+lookup needs no zero-row concatenate. Measured on v5e at 2M x 64:
+64-lane Mosaic DMAs move ~143 GB/s vs ~350 at 128 lanes, a zero-row
+concatenate costs 9.9 ms/step, and any row-scaling formulation of the
+weights pays a ~2 ms/pass lane->sublane relayout — this design exists to
+dodge all three.
 
 Numerical note: the summation order differs from scatter-add and long
-prefixes accumulate rounding; the kernel accumulates in f32 (inputs may
-be bf16).
+prefixes accumulate rounding; the kernels accumulate in f32 (inputs may
+be bf16; ``matmul_bf16`` rounds scan inputs to bf16 before the MXU).
 """
 
 from __future__ import annotations
@@ -97,25 +103,7 @@ def _cumsum_kernel(x_ref, out_ref, total_ref, carry, *, exclusive: bool,
                  matmul_bf16=matmul_bf16, sub=sub)
 
 
-def _cumsum_scale_kernel(x_ref, w_ref, out_ref, total_ref, carry, *,
-                         exclusive: bool, matmul_bf16: bool,
-                         sub: int | None = None):
-    """Cumsum of ``x * w`` — the per-edge scale rides the streaming pass
-    for free instead of being fused into the XLA row gather (a fused
-    gather+scale runs ~1.6x slower than the pure bf16 gather: 8.4 vs
-    5.2 ms for 2M x 64 rows on v5e)."""
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        carry[:] = jnp.zeros_like(carry)
-
-    x = x_ref[:].astype(jnp.float32) * w_ref[:].astype(jnp.float32)
-    _cumsum_body(x, out_ref, total_ref, carry, exclusive=exclusive,
-                 matmul_bf16=matmul_bf16, sub=sub)
-
-
-def _cumsum_call(x, w, *, block: int, interpret: bool, exclusive: bool,
+def _cumsum_call(x, *, block: int, interpret: bool, exclusive: bool,
                  matmul_bf16: bool, with_total: bool,
                  sub: int | None = None):
     n, d = x.shape
@@ -124,16 +112,7 @@ def _cumsum_call(x, w, *, block: int, interpret: bool, exclusive: bool,
     ins = [x_in]
     in_specs = [pl.BlockSpec((block, d), lambda j: (j, 0),
                              memory_space=pltpu.VMEM)]
-    if w is not None:
-        w_in = w.reshape(n, 1)
-        if pad:
-            w_in = jnp.pad(w_in, ((0, pad), (0, 0)))
-        ins.append(w_in)
-        in_specs.append(pl.BlockSpec((block, 1), lambda j: (j, 0),
-                                     memory_space=pltpu.VMEM))
-        kernel = _cumsum_scale_kernel
-    else:
-        kernel = _cumsum_kernel
+    kernel = _cumsum_kernel
     if not with_total:
         kernel = functools.partial(_no_total, kernel)
     out_specs = [pl.BlockSpec((block, d), lambda j: (j, 0),
@@ -165,20 +144,7 @@ def _no_total(kernel, *refs, **kw):
 def streaming_cumsum(x: jax.Array, block: int = 512,
                      interpret: bool = False) -> jax.Array:
     """Inclusive prefix sum over axis 0 (f32 out), Pallas streaming."""
-    out, _ = _cumsum_call(x, None, block=block, interpret=interpret,
-                          exclusive=False, matmul_bf16=False,
-                          with_total=False)
-    return out[:x.shape[0]]
-
-
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def streaming_cumsum_scaled(x: jax.Array, w: jax.Array, block: int = 512,
-                            interpret: bool = False) -> jax.Array:
-    """Inclusive prefix sum of ``x * w[:, None]`` (f32), one fused pass.
-
-    ``w`` is the per-row scale, shape ``(n,)``.
-    """
-    out, _ = _cumsum_call(x, w, block=block, interpret=interpret,
+    out, _ = _cumsum_call(x, block=block, interpret=interpret,
                           exclusive=False, matmul_bf16=False,
                           with_total=False)
     return out[:x.shape[0]]
@@ -200,7 +166,7 @@ def sorted_segment_sum_indptr(msgs: jax.Array, indptr: jax.Array,
     prefix-diff formulation cancels large partial sums, so very long
     segments see ~1e-3 relative f32 error).
     """
-    excl, total = _cumsum_call(msgs, None, block=block, interpret=interpret,
+    excl, total = _cumsum_call(msgs, block=block, interpret=interpret,
                                exclusive=True, matmul_bf16=False,
                                with_total=True)
     return _boundary_diff_excl(excl, total, indptr, msgs.shape[0])
@@ -219,38 +185,12 @@ def _boundary_diff_excl(excl, total, indptr, n):
     return g[1:] - g[:-1]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "block", "matmul_bf16"))
-def sorted_segment_sum_scaled(msgs: jax.Array, w: jax.Array,
-                              indptr: jax.Array, block: int = 512,
-                              matmul_bf16: bool = False,
-                              interpret: bool = False) -> jax.Array:
-    """Segment sum of ``msgs * w[:, None]`` (rows sorted by segment) with
-    the scale fused into the streaming pass.
-
-    ``matmul_bf16`` runs the in-block triangular matmul with bf16 inputs
-    (4x the f32 MXU rate on v5e; the scaled messages are bf16-rounded
-    before the MXU, matching the historical bf16-message path)."""
-    excl, total = _cumsum_call(msgs, w, block=block, interpret=interpret,
-                               exclusive=True, matmul_bf16=matmul_bf16,
-                               with_total=True)
-    return _boundary_diff_excl(excl, total, indptr, msgs.shape[0])
-
-
 def _packed_scan_kernel(x_ref, out_ref, total_ref, carry, *, half: int,
                         matmul_bf16: bool):
-    """Dual-half exclusive scan at full lane width.
-
-    Reads ``(2·half, D)`` rows (D = 64 on this model family), lane-concats
-    the two consecutive halves into ``(half, 2D)``, runs ONE full-width
-    triangular matmul, and writes the exclusive prefix PACKED as
-    ``(half, 2D)`` f32: row i = [excl(left_i) | excl(right_i)].
-
-    Why: Mosaic DMAs for 64-lane blocks run at ~143 GB/s on v5e vs
-    ~350 GB/s for the same bytes at 128 lanes (measured: 5.2 vs 2.2 ms
-    for the 2M x 64 bf16 -> f32 copy). Packing the f32 output (2/3 of
-    the traffic) recovers most of the loss; the input stays 64-lane.
-    """
+    """Unweighted dual-half exclusive scan (pre-scaled messages): read
+    ``(2·half, D)``, lane-concat to ``(half, 2D)``, one full-width
+    strict-triangle matmul, write the exclusive prefix packed f32 (see
+    ``_packed_scan_w_kernel`` for why packing matters)."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -261,16 +201,16 @@ def _packed_scan_kernel(x_ref, out_ref, total_ref, carry, *, half: int,
     if matmul_bf16:
         x = x.astype(jnp.bfloat16)
     xl, xr = x[:half], x[half:]
-    xc = jnp.concatenate([xl, xr], axis=1)         # (half, 2D)
-    incl = jnp.dot(_tri(half, xc.dtype), xc,
-                   preferred_element_type=jnp.float32)
-    d = xl.shape[1]
-    t_l = incl[-1:, :d]                            # left-half total
-    t_r = incl[-1:, d:]
+    xc = jnp.concatenate([xl, xr], axis=1)          # (half, 2D)
+    row = jax.lax.broadcasted_iota(jnp.int32, (half, half), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (half, half), 1)
+    tris = (col < row).astype(xc.dtype)
+    excl = jnp.dot(tris, xc, preferred_element_type=jnp.float32)
+    t_l = jnp.sum(xl.astype(jnp.float32), axis=0, keepdims=True)
+    t_r = jnp.sum(xr.astype(jnp.float32), axis=0, keepdims=True)
     c = carry[:]
-    offset = jnp.concatenate([c, c + t_l], axis=1)  # (1, 2D)
-    out_ref[:] = offset + (incl - xc.astype(jnp.float32))
-    new_c = c + t_l + t_r
+    out_ref[:] = excl + jnp.concatenate([c, c + t_l], axis=1)
+    new_c = (c + t_l) + t_r
     carry[:] = new_c
     total_ref[:] = new_c
 
