@@ -1,20 +1,30 @@
-"""Microbenchmark: what is the fastest way to gather 2M x 64 embedding
-rows on TPU? (The fused edge propagation's cost is 6 such gathers per
-train step — see STATUS.md.)
+"""Microbenchmark: how fast can 2M x 64 embedding rows be gathered on
+TPU? (The fused edge propagation is bound by six such gathers per train
+step — see STATUS.md.)
 
-Variants:
-  a. XLA random row gather, bf16 (current production path)
-  b. XLA gather with SORTED indices (sender-order) + indices_are_sorted
-  c. XLA random gather after degree-sort relabeling on a Zipf graph
-     (locality: hot rows clustered at low ids)
-  d. Pallas: in-VMEM dynamic gather (jnp.take inside the kernel) —
-     capability + speed probe for a table chunk that fits VMEM
-  e. Pallas: run-length expand (sorted gather as sequential table stream)
+Findings on v5e (this file reproduces them):
+  - bf16 random row gather: ~5.2 ms (~52 GB/s of gathered bytes) —
+    per-row-rate bound (~400-500M rows/s), NOT bandwidth bound.
+  - f32 gather is ~4.6x slower than bf16 (XLA lowers them differently).
+  - Sorted indices (with or without the indices_are_sorted flag) do NOT
+    help; degree-sorted relabeling of a Zipf graph does NOT help — the
+    per-row rate is insensitive to the access pattern.
+  - A fused gather+convert/scale is ~1.6x slower than the pure gather —
+    hence the optimization_barrier around the bf16 table cast in
+    ops/pallas_segment.gather_scale_segsum.
+  - Mosaic `tpu.dynamic_gather` (the only in-kernel gather the Pallas
+    lowering supports, jax/_src/pallas/mosaic/lowering.py:2464) CRASHES
+    the remote compiler (HTTP 500) at every (CH, D) config tried, so a
+    VMEM-resident-chunk gather kernel is not currently buildable.
+
+Timing on the tunneled axon platform: ``block_until_ready`` returns
+before device compute finishes — only a device->host transfer of a
+dependent value syncs, so every measurement pulls a scalar and subtracts
+the measured tunnel roundtrip.
 
 Run on the real chip:  python experiments/gather_microbench.py
 """
 
-import functools
 import time
 
 import jax
@@ -26,14 +36,10 @@ D = 64
 E = 1 << 21          # gathered rows (2M)
 ITERS = 10
 
-
 _ROUNDTRIP = None
 
 
 def _sync_scalar(r):
-    """Force real device completion: on the tunneled axon platform
-    ``block_until_ready`` returns before compute finishes — only a
-    device->host transfer of a dependent value actually syncs."""
     return float(jnp.ravel(r)[0])
 
 
@@ -77,84 +83,34 @@ def main():
     idx_zipf = jnp.asarray(z.astype(np.int32))
     idx_zipf_deg = jnp.asarray(rank[z].astype(np.int32))
 
-    # NOTE: the output must be the materialized (E, D) array — with a
-    # linear reduction on top, XLA rewrites sum(t[idx]) into a
-    # count-weighted table reduction and the gather disappears (measured
-    # 2800 GB/s "gathered", i.e. above HBM peak).
+    # NOTE: the benchmarked function must RETURN the materialized (E, D)
+    # array — with a linear reduction on top, XLA rewrites sum(t[idx])
+    # into a count-weighted table reduction and the gather disappears.
     @jax.jit
     def gather_plain(t, i):
         return t[i]
 
     @jax.jit
-    def gather_sorted(t, i):
-        return jax.lax.gather(
-            t, i[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(0,),
-                start_index_map=(0,)),
-            slice_sizes=(1, D), indices_are_sorted=True, unique_indices=False,
-            mode="clip")
+    def gather_fused_scale(t, i, w):
+        return (t.astype(jnp.bfloat16)[i].astype(jnp.float32)
+                * w[:, None]).astype(jnp.bfloat16)
 
-    print("device:", jax.devices()[0].device_kind)
-    bw = lambda dt: E * D * 2 / dt / 1e9   # bf16 gathered bytes / s
-
-    for name, fn, t, i in [
-        ("a. random bf16          ", gather_plain, table_bf, idx_rand),
-        ("a2 random f32           ", gather_plain, table, idx_rand),
-        ("b. sorted bf16 (flagged)", gather_sorted, table_bf, idx_sorted),
-        ("b2 sorted bf16 (plain)  ", gather_plain, table_bf, idx_sorted),
-        ("c. zipf random bf16     ", gather_plain, table_bf, idx_zipf),
-        ("c2 zipf degree-sorted   ", gather_plain, table_bf, idx_zipf_deg),
+    w = jnp.asarray(rng.random(E).astype(np.float32))
+    print("device:", jax.devices()[0].device_kind,
+          f"(tunnel roundtrip {roundtrip_s()*1e3:.1f} ms)")
+    for name, fn, args, nbytes in [
+        ("random bf16           ", gather_plain, (table_bf, idx_rand), 2),
+        ("random f32            ", gather_plain, (table, idx_rand), 4),
+        ("sorted bf16           ", gather_plain, (table_bf, idx_sorted), 2),
+        ("zipf bf16             ", gather_plain, (table_bf, idx_zipf), 2),
+        ("zipf degree-sorted    ", gather_plain, (table_bf, idx_zipf_deg),
+         2),
+        ("fused cast+scale bf16 ", gather_fused_scale,
+         (table, idx_rand, w), 2),
     ]:
-        dt = timeit(fn, t, i)
-        print(f"{name}: {dt*1e3:7.3f} ms  ({bw(dt):6.1f} GB/s gathered)")
-
-    # d. Pallas in-VMEM dynamic gather capability probe ------------------
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    CH, B = 1 << 14, 1 << 13               # 16k-row chunk, 8k idx per block
-
-    # Mosaic's lax.gather lowering (jax/_src/pallas/mosaic/lowering.py:2464)
-    # supports ONLY tpu.dynamic_gather with indices.shape == operand.shape
-    # (gather along dim 0 or 1, the other dim batched) — i.e.
-    # take_along_axis where the output block equals the chunk shape.
-    def make_sq(ch):
-        def k_sq(idx_ref, chunk_ref, out_ref):
-            idx2 = jnp.broadcast_to(idx_ref[:][:, None], (ch, D))
-            out_ref[:] = jnp.take_along_axis(chunk_ref[:], idx2, axis=0)
-
-        @jax.jit
-        def call(chunk, idx):
-            return pl.pallas_call(
-                k_sq,
-                grid=(E // ch,),
-                in_specs=[
-                    pl.BlockSpec((ch,), lambda j: (j,),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((ch, D), lambda j: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((ch, D), lambda j: (j, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((E, D), chunk.dtype),
-            )(idx, chunk)
-        return call
-
-    for ch in (256, 512, 1024, 2048, 8192):
-        chunk = table_bf[:ch]
-        idx_small = jnp.asarray(rng.integers(0, ch, E).astype(np.int32))
-        ref = chunk[idx_small]
-        try:
-            call = make_sq(ch)
-            out = call(chunk, idx_small)
-            ok = bool(jnp.all(out == ref))
-            dt = timeit(call, chunk, idx_small)
-            print(f"d. pallas dyngather CH={ch:5d}: {dt*1e3:7.3f} ms "
-                  f"({bw(dt):6.1f} GB/s) correct={ok}")
-        except Exception as ex:  # noqa: BLE001
-            print(f"d. pallas dyngather CH={ch:5d}: UNSUPPORTED "
-                  f"({type(ex).__name__}: {str(ex)[:150]})")
+        dt = timeit(fn, *args)
+        print(f"{name}: {dt*1e3:7.3f} ms  "
+              f"({E*D*nbytes/dt/1e9:6.1f} GB/s gathered)")
 
 
 if __name__ == "__main__":

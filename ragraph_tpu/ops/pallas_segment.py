@@ -42,7 +42,7 @@ def _tri(n, dtype):
 
 
 def _cumsum_body(x, out_ref, total_ref, carry, *, exclusive: bool,
-                 matmul_bf16: bool, sub: int | None = None):
+                 matmul_bf16: bool):
     """In-block prefix sum on the MXU with a lower-triangular ones matrix
     (beats a log-step VPU scan by ~an order of magnitude), plus a carried
     (1, D) running total.
@@ -52,11 +52,6 @@ def _cumsum_body(x, out_ref, total_ref, carry, *, exclusive: bool,
     bf16 and the inputs are bf16-rounded (same numerics as feeding bf16
     messages, which is what the fused propagation always did).
 
-    ``sub`` enables a two-level scan: tri matmuls over ``sub``-row
-    sub-blocks plus one tri matmul over the sub-totals — total MXU work
-    drops from E·block·D to E·sub·D (+ tiny combine), which matters
-    because the one-level form is MXU-bound at production sizes.
-
     ``exclusive`` writes the EXCLUSIVE prefix (sum of rows < i) and the
     grand total to ``total_ref`` — the segment-sum consumer then needs no
     zero-row concatenate (measured 9.9 ms per step of pure copy at
@@ -64,21 +59,8 @@ def _cumsum_body(x, out_ref, total_ref, carry, *, exclusive: bool,
     """
     block = x.shape[0]
     xm = x.astype(jnp.bfloat16) if matmul_bf16 else x
-    if sub is None or sub >= block:
-        incl = jnp.dot(_tri(block, xm.dtype), xm,
-                       preferred_element_type=jnp.float32)
-    else:
-        ns = block // sub
-        tri_s = _tri(sub, xm.dtype)
-        parts = [jnp.dot(tri_s, xm[i * sub:(i + 1) * sub],
-                         preferred_element_type=jnp.float32)
-                 for i in range(ns)]
-        subtot = jnp.concatenate([p[-1:, :] for p in parts], axis=0)
-        # exclusive scan of the (ns, D) sub-totals
-        off = jnp.dot(_tri(ns, jnp.float32), subtot,
-                      preferred_element_type=jnp.float32) - subtot
-        incl = jnp.concatenate(
-            [p + off[i:i + 1, :] for i, p in enumerate(parts)], axis=0)
+    incl = jnp.dot(_tri(block, xm.dtype), xm,
+                   preferred_element_type=jnp.float32)
     c = carry[:]
     if exclusive:
         out_ref[:] = c + (incl - xm.astype(jnp.float32))
@@ -91,7 +73,7 @@ def _cumsum_body(x, out_ref, total_ref, carry, *, exclusive: bool,
 
 
 def _cumsum_kernel(x_ref, out_ref, total_ref, carry, *, exclusive: bool,
-                   matmul_bf16: bool, sub: int | None = None):
+                   matmul_bf16: bool):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -100,12 +82,11 @@ def _cumsum_kernel(x_ref, out_ref, total_ref, carry, *, exclusive: bool,
 
     x = x_ref[:].astype(jnp.float32)               # (block, D)
     _cumsum_body(x, out_ref, total_ref, carry, exclusive=exclusive,
-                 matmul_bf16=matmul_bf16, sub=sub)
+                 matmul_bf16=matmul_bf16)
 
 
 def _cumsum_call(x, *, block: int, interpret: bool, exclusive: bool,
-                 matmul_bf16: bool, with_total: bool,
-                 sub: int | None = None):
+                 matmul_bf16: bool, with_total: bool):
     n, d = x.shape
     pad = (-n) % block
     x_in = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
@@ -124,7 +105,7 @@ def _cumsum_call(x, *, block: int, interpret: bool, exclusive: bool,
         out_shape.append(jax.ShapeDtypeStruct((1, d), jnp.float32))
     res = pl.pallas_call(
         functools.partial(kernel, exclusive=exclusive,
-                          matmul_bf16=matmul_bf16, sub=sub),
+                          matmul_bf16=matmul_bf16),
         grid=(x_in.shape[0] // block,),
         in_specs=in_specs,
         out_specs=out_specs if with_total else out_specs[0],
