@@ -76,15 +76,30 @@ def _load_node(ns: SimpleNamespace):
     rgu = types.ModuleType("refnode_rgu")
     rgu.__path__ = [f"{NODE}/ragraph_utils"]
     sys.modules["refnode_rgu"] = rgu
+    # ToyGraphBase imports torch_geometric (not installed) only for its
+    # TUDataset/DataLoader loader method; stub the two names so the
+    # pure-torch build/retrieve methods are importable for parity tests.
+    tg = types.ModuleType("torch_geometric")
+    tg_loader = types.ModuleType("torch_geometric.loader")
+    tg_loader.DataLoader = object
+    tg_data = types.ModuleType("torch_geometric.datasets")
+    tg_data.TUDataset = object
+    tg.loader, tg.datasets = tg_loader, tg_data
+    had_tg = "torch_geometric" in sys.modules
+    sys.modules.setdefault("torch_geometric", tg)
+    sys.modules.setdefault("torch_geometric.loader", tg_loader)
+    sys.modules.setdefault("torch_geometric.datasets", tg_data)
     try:
         for name in ("Propagation", "SimilarityFunctions",
                      "PositionAwareEncoder", "InverseSampling",
-                     "Augmentation", "TaskDecoder"):
+                     "Augmentation", "TaskDecoder", "ToyGraphBase"):
             mod = importlib.import_module(f"refnode_rgu.{name}")
             setattr(ns, f"node_{name}", getattr(mod, name))
         ns.node_utility = importlib.import_module("refnode_rgu.utility")
     finally:
         _purge(["refnode_rgu"])
+        if not had_tg:
+            _purge(["torch_geometric"])
     ns.node_process = _load_file("refnode_process", f"{NODE}/utils/process.py")
     ns.node_aug = _load_file("refnode_aug", f"{NODE}/aug.py")
 

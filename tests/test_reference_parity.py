@@ -479,3 +479,76 @@ def test_interpolative_merge_parity(R):
     for k in ("user_embedding", "item_embedding"):
         np.testing.assert_allclose(np.asarray(ours[k]), ref[k].numpy(),
                                    atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level: library build -> retrieve against the reference's OWN
+# ToyGraphBase (deterministic config: no augmentation, no inverse sampling)
+# ---------------------------------------------------------------------------
+
+def test_library_build_and_retrieve_pipeline_parity(R):
+    """Chain parity: frozen encoder -> key normalize -> k-hop values ->
+    compacting store -> cosine top-k retrieval must reproduce the
+    reference ``ToyGraphBase`` (``_build_toy_graph_base`` + ``retrieve``,
+    ``RAGraph_node/ragraph_utils/ToyGraphBase.py:47-119``) row-for-row on
+    identical graphs with an identical frozen encoder."""
+    import jax
+    from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                         library_init, retrieve)
+
+    rng = np.random.default_rng(42)
+    n, f_dim, e_dim, c = 12, 7, 8, 3
+    n_graphs, k = 2, c + 1
+    w_enc = rng.standard_normal((f_dim, e_dim)).astype(np.float32) * 0.3
+
+    feats = rng.standard_normal((n_graphs, n, f_dim)).astype(np.float32)
+    adjs = np.stack([_rand_graph(rng, n) for _ in range(n_graphs)])
+    # row-normalized adjacency as process_tu_dataset produces
+    adjs = adjs / adjs.sum(axis=2, keepdims=True)
+    label_idx = rng.integers(0, c, (n_graphs, n))
+    onehot = np.eye(c, dtype=np.float32)[label_idx]
+
+    # --- reference build + retrieve (pure-torch methods) ---
+    class FrozenEncoder:
+        def inference(self, features, adj):
+            return features @ torch.tensor(w_enc)
+
+    tb = R.node_ToyGraphBase(FrozenEncoder(), num_class=c, emb_size=e_dim,
+                             query_graph_hop=2)   # toy_graph_hop = 1
+    tb.num_inverse_sample = 0
+    tb.num_augment_scale = 0
+    tb.retrieve_num = k
+    for g in range(n_graphs):
+        tb._build_toy_graph_base(torch.tensor(feats[g]),
+                                 torch.tensor(adjs[g]),
+                                 torch.tensor(onehot[g]))
+
+    # --- our build + retrieve ---
+    cfg = LibraryConfig(num_inverse_sample=0, num_augment_scale=0,
+                        retrieve_num=k, toy_graph_hop=1,
+                        use_positions=False)
+    lib = library_init(capacity=n_graphs * n, emb_size=e_dim,
+                       num_classes=c)
+    encoder_fn = lambda f, a: f @ jnp.asarray(w_enc)
+    batch = {"features": jnp.asarray(feats), "adj": jnp.asarray(adjs),
+             "labels": jnp.asarray(onehot),
+             "node_mask": jnp.ones((n_graphs, n), bool)}
+    lib = build_library(lib, encoder_fn, [batch], cfg, jax.random.key(0))
+
+    assert int(lib.fill) == n_graphs * n
+    np.testing.assert_allclose(np.asarray(lib.keys[:lib.capacity]),
+                               tb.resource_keys.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(lib.values[:lib.capacity]),
+                               tb.resource_values.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(lib.labels[:lib.capacity]),
+                               tb.resource_labels.numpy(), atol=ATOL)
+
+    # retrieval over the built store: same queries, same top-k rows
+    queries = rng.standard_normal((5, e_dim)).astype(np.float32)
+    ref_emb, ref_lab = tb.retrieve(torch.tensor(queries), None,
+                                   add_noise=False)
+    our_emb, our_lab = retrieve(lib, jnp.asarray(queries), cfg)
+    np.testing.assert_allclose(np.asarray(our_emb), ref_emb.numpy(),
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(our_lab), ref_lab.numpy(),
+                               atol=ATOL)
