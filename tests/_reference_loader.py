@@ -134,6 +134,15 @@ def _load_node(ns: SimpleNamespace):
 
         import preprompt as node_preprompt  # noqa: F401
 
+        # the top-level RAGraph model (ToyGraphBase retrieve + fusion);
+        # needs `from ragraph_utils import ...` and `from utils import
+        # process` resolvable, plus the torch_geometric stub above
+        sys.modules.setdefault("torch_geometric", tg)
+        sys.modules.setdefault("torch_geometric.loader", tg_loader)
+        sys.modules.setdefault("torch_geometric.datasets", tg_data)
+        import RAGraph as node_RAGraph_mod  # noqa: F401
+        ns.node_RAGraph = node_RAGraph_mod.RAGraph
+
         ns.node_GCN = layers.GCN
         ns.node_AvgReadout = layers.AvgReadout
         ns.node_Discriminator = layers.Discriminator
@@ -144,7 +153,7 @@ def _load_node(ns: SimpleNamespace):
         ns.node_preprompt = node_preprompt
     finally:
         sys.path[:] = saved_path
-        _purge(["layers", "models", "preprompt"])
+        _purge(["layers", "models", "preprompt", "RAGraph", "utils"])
 
 
 def make_edge_args(**overrides) -> SimpleNamespace:

@@ -552,3 +552,113 @@ def test_library_build_and_retrieve_pipeline_parity(R):
                                atol=ATOL)
     np.testing.assert_allclose(np.asarray(our_lab), ref_lab.numpy(),
                                atol=ATOL)
+
+
+def test_ragraph_forward_fusion_parity(R):
+    """Full-forward parity: frozen encoder -> retrieve -> fusion
+    (``query·(1-w) + Σ rag_emb·w`` -> decoder softmax -> label blend)
+    against the reference ``RAGraph.forward``
+    (``RAGraph_node/RAGraph.py:39-63``), finetune AND training-free
+    paths, with the decoder weights copied across frameworks."""
+    import types as _types
+    import jax
+    from ragraph_tpu.models.ragraph_node import (RAGraphNode,
+                                                 RAGraphNodeConfig,
+                                                 RAGraphNodeState)
+    from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                         library_init)
+
+    rng = np.random.default_rng(7)
+    n, f_dim, e_dim, c = 10, 6, 8, 3
+    hop = 3
+    w_enc = rng.standard_normal((f_dim, e_dim)).astype(np.float32) * 0.3
+
+    feats = rng.standard_normal((2, n, f_dim)).astype(np.float32)
+    adjs = np.stack([_rand_graph(rng, n) for _ in range(2)])
+    adjs = adjs / adjs.sum(axis=2, keepdims=True)
+    onehot = np.eye(c, dtype=np.float32)[rng.integers(0, c, (2, n))]
+
+    # reference: ToyGraphBase built deterministically + RAGraph via __new__
+    class FrozenEncoder:
+        def inference(self, features, adj):
+            return features @ torch.tensor(w_enc)
+
+    tb = R.node_ToyGraphBase(FrozenEncoder(), num_class=c, emb_size=e_dim,
+                             query_graph_hop=hop)  # toy_graph_hop = 2
+    tb.num_inverse_sample = 0
+    tb.num_augment_scale = 0
+    tb.retrieve_num = c + 1
+    for g in range(2):
+        tb._build_toy_graph_base(torch.tensor(feats[g]),
+                                 torch.tensor(adjs[g]),
+                                 torch.tensor(onehot[g]))
+    torch.manual_seed(3)
+    ref_decoder = R.node_TaskDecoder(e_dim, e_dim, c)
+
+    ref = object.__new__(R.node_RAGraph)
+    torch.nn.Module.__init__(ref)
+    ref.emb_size, ref.num_class = e_dim, c
+    ref.pretrain_model = FrozenEncoder()
+    ref.retrieve_weight = ref.label_weight = 0.5
+    ref.finetune, ref.noise_finetune = True, False
+    ref.query_graph_hop = hop
+    ref.toy_graph_base = tb
+    ref.decoder = ref_decoder
+    ref.eval()
+
+    # ours: same frozen encoder (stubbed in), torch decoder weights copied
+    cfg = RAGraphNodeConfig(
+        emb_size=e_dim, num_class=c, query_graph_hop=hop,
+        library=LibraryConfig(num_inverse_sample=0, num_augment_scale=0,
+                              retrieve_num=c + 1, toy_graph_hop=hop - 1,
+                              use_positions=False))
+    model = RAGraphNode(cfg, feature_dim=f_dim)
+    enc_stub = _types.SimpleNamespace(
+        apply=lambda params, f, a, m=None, method=None: f @ jnp.asarray(
+            w_enc),
+        inference=None)
+    model.encoder = enc_stub
+
+    dec_params = {"params": {
+        "Dense_0": {"kernel": jnp.asarray(
+            ref_decoder.fc1.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref_decoder.fc1.bias.detach().numpy())},
+        "Dense_1": {"kernel": jnp.asarray(
+            ref_decoder.fc2.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref_decoder.fc2.bias.detach().numpy())},
+    }}
+    lib = library_init(2 * n, e_dim, c)
+    lib = build_library(lib, lambda f, a: f @ jnp.asarray(w_enc),
+                        [{"features": jnp.asarray(feats),
+                          "adj": jnp.asarray(adjs),
+                          "labels": jnp.asarray(onehot),
+                          "node_mask": jnp.ones((2, n), bool)}],
+                        cfg.library, jax.random.key(0))
+    state = RAGraphNodeState(encoder_params=None, decoder_params=dec_params,
+                             library=lib)
+
+    from ragraph_tpu.core.graph import DenseGraph
+    qf = rng.standard_normal((n, f_dim)).astype(np.float32)
+    qa = _rand_graph(rng, n)
+    qa = qa / qa.sum(axis=1, keepdims=True)
+    graph = DenseGraph(features=jnp.asarray(qf), adj=jnp.asarray(qa),
+                       labels=jnp.zeros((n, c)),
+                       node_mask=jnp.ones((n,), bool),
+                       graph_ids=jnp.zeros((n,), jnp.int32), num_graphs=1)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(qf), torch.tensor(qa)).numpy()
+    ours = np.asarray(model.forward(state, graph))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+    # training-free path (finetune=False): pure label vote
+    ref.finetune = False
+    with torch.no_grad():
+        ref_tf = ref(torch.tensor(qf), torch.tensor(qa)).numpy()
+    cfg_tf = RAGraphNodeConfig(
+        emb_size=e_dim, num_class=c, query_graph_hop=hop, finetune=False,
+        library=cfg.library)
+    model_tf = RAGraphNode(cfg_tf, feature_dim=f_dim)
+    model_tf.encoder = enc_stub
+    ours_tf = np.asarray(model_tf.forward(state, graph))
+    np.testing.assert_allclose(ours_tf, ref_tf, atol=1e-4)
