@@ -662,3 +662,62 @@ def test_ragraph_forward_fusion_parity(R):
     model_tf.encoder = enc_stub
     ours_tf = np.asarray(model_tf.forward(state, graph))
     np.testing.assert_allclose(ours_tf, ref_tf, atol=1e-4)
+
+
+def test_edge_ragraph_forward_rag_fusion_parity(R):
+    """Full edge forward parity (phase='vanilla', RAG on): gated tables ->
+    3 time-blended propagation hops -> chunked cosine top-k retrieval ->
+    (1-w)·Σlayers + w·rag_mean fusion, vs the reference
+    ``modules/RAGraph.py:265-332`` executing its own forward."""
+    from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                         RAGraphEdge)
+
+    rng = np.random.default_rng(23)
+    U, I, D, M, RES, k = 7, 8, 8, 30, 20, 4
+    n = U + I
+    u = rng.integers(0, U, M)
+    it = rng.integers(U, n, M)
+    send = np.concatenate([u, it]).astype(np.int32)
+    recv = np.concatenate([it, u]).astype(np.int32)
+    norm = rng.random(2 * M).astype(np.float32) + 0.1
+    times = np.concatenate([rng.integers(0, 50, M)] * 2).astype(np.int64)
+    user_emb = rng.standard_normal((U, D)).astype(np.float32)
+    item_emb = rng.standard_normal((I, D)).astype(np.float32)
+    res_keys = rng.standard_normal((RES, D)).astype(np.float32)
+    res_vals = rng.standard_normal((RES, D)).astype(np.float32)
+
+    # --- reference, via its own forward ---
+    R.edge_args.num_layers = 3
+    ref = object.__new__(R.edge_RAGraph)
+    torch.nn.Module.__init__(ref)
+    ref.num_users, ref.num_items, ref.emb_size = U, I, D
+    ref.phase, ref.use_RAG, ref.use_noise = "vanilla", True, False
+    ref.user_embedding = torch.nn.Parameter(torch.tensor(user_emb))
+    ref.item_embedding = torch.nn.Parameter(torch.tensor(item_emb))
+    ref.emb_gate = lambda x: x
+    ref.retrieve_weight = 0.3
+    ref.batch_size, ref.retrieve_num, ref.noise_retrieve_num = 7, k, 1
+    ref.resource_keys = torch.tensor(res_keys)
+    ref.resource_values = torch.tensor(res_vals)
+    ref.eval()
+    t_edges = torch.tensor(np.stack([send, recv], axis=1))
+    with torch.no_grad():
+        ref_u, ref_i = ref.forward(t_edges, torch.tensor(norm),
+                                   torch.tensor(times))
+
+    # --- ours ---
+    g = EdgeGraphArrays(senders=jnp.asarray(send),
+                        receivers=jnp.asarray(recv),
+                        edge_norm=jnp.asarray(norm),
+                        edge_times=jnp.asarray(times.astype(np.float32)),
+                        num_users=U, num_items=I)
+    cfg = EdgeModelConfig(emb_size=D, num_layers=3, retrieve_weight=0.3,
+                          rag_chunk=7, retrieve_num=k, use_lora=False)
+    model = RAGraphEdge(cfg, g, phase="vanilla")
+    params = {"user_embedding": jnp.asarray(user_emb),
+              "item_embedding": jnp.asarray(item_emb)}
+    our_u, our_i = model.forward(
+        params, resources=(jnp.asarray(res_keys), jnp.asarray(res_vals)))
+
+    np.testing.assert_allclose(np.asarray(our_u), ref_u.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_i), ref_i.numpy(), atol=1e-4)
