@@ -100,6 +100,26 @@ def _load_node(ns: SimpleNamespace):
         _purge(["refnode_rgu"])
         if not had_tg:
             _purge(["torch_geometric"])
+    # graph-level and fewshot ToyGraphBase variants (same loading recipe,
+    # different source trees; used by the variant build/retrieve parity
+    # tests)
+    for prefix, tree in (("graph", f"{REF}/RAGraph_graph"),
+                         ("fewshot", f"{REF}/RAGraph_node_fewshot")):
+        pkg_name = f"ref{prefix}_rgu"
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [f"{tree}/ragraph_utils"]
+        sys.modules[pkg_name] = pkg
+        sys.modules.setdefault("torch_geometric", tg)
+        sys.modules.setdefault("torch_geometric.loader", tg_loader)
+        sys.modules.setdefault("torch_geometric.datasets", tg_data)
+        try:
+            mod = importlib.import_module(f"{pkg_name}.ToyGraphBase")
+            setattr(ns, f"{prefix}_ToyGraphBase", mod.ToyGraphBase)
+        finally:
+            _purge([pkg_name])
+            if not had_tg:
+                _purge(["torch_geometric"])
+
     ns.node_process = _load_file("refnode_process", f"{NODE}/utils/process.py")
     ns.node_aug = _load_file("refnode_aug", f"{NODE}/aug.py")
 

@@ -721,3 +721,120 @@ def test_edge_ragraph_forward_rag_fusion_parity(R):
 
     np.testing.assert_allclose(np.asarray(our_u), ref_u.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(our_i), ref_i.numpy(), atol=1e-4)
+
+
+def test_graph_variant_library_build_parity(R):
+    """Graph-level library build (mean-pooled keys/values, one-hot graph
+    label) vs the reference graph-variant ``ToyGraphBase``
+    (``RAGraph_graph/ragraph_utils/ToyGraphBase.py:98-131``)."""
+    import jax
+    from ragraph_tpu.rag.library import (LibraryConfig, build_library,
+                                         library_init, retrieve)
+
+    rng = np.random.default_rng(31)
+    n, f_dim, e_dim, c = 9, 5, 8, 4
+    w_enc = rng.standard_normal((f_dim, e_dim)).astype(np.float32) * 0.3
+    feats = rng.standard_normal((3, n, f_dim)).astype(np.float32)
+    adjs = np.stack([_rand_graph(rng, n) for _ in range(3)])
+    adjs = adjs / adjs.sum(axis=2, keepdims=True)
+    glabels = rng.integers(0, c, 3)
+
+    class FrozenEncoder:
+        def inference(self, features, adj):
+            return features @ torch.tensor(w_enc)
+
+    tb = R.graph_ToyGraphBase(FrozenEncoder(), num_class=c,
+                              emb_size=e_dim, query_graph_hop=2)
+    tb.num_inverse_sample = 0
+    tb.num_augment_scale = 0
+    tb.retrieve_num = 2
+    for g in range(3):
+        tb._build_toy_graph_base(torch.tensor(feats[g]),
+                                 torch.tensor(adjs[g]),
+                                 torch.tensor([glabels[g]]))
+
+    cfg = LibraryConfig(level="graph", num_inverse_sample=0,
+                        num_augment_scale=0, retrieve_num=2,
+                        toy_graph_hop=1, use_positions=False,
+                        noise_mode="gaussian")
+    lib = library_init(8, e_dim, c)
+    onehot_nodes = np.zeros((3, n, c), np.float32)   # node labels unused
+    graph_onehot = np.eye(c, dtype=np.float32)[glabels]
+    lib = build_library(
+        lib, lambda f, a: f @ jnp.asarray(w_enc),
+        [{"features": jnp.asarray(feats), "adj": jnp.asarray(adjs),
+          "labels": jnp.asarray(onehot_nodes),
+          "node_mask": jnp.ones((3, n), bool),
+          "graph_onehot": jnp.asarray(graph_onehot)}],
+        cfg, jax.random.key(0))
+
+    assert int(lib.fill) == 3
+    np.testing.assert_allclose(np.asarray(lib.keys[:3]),
+                               tb.resource_keys.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(lib.values[:3]),
+                               tb.resource_values.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(lib.labels[:3]),
+                               tb.resource_labels.numpy(), atol=ATOL)
+
+
+def test_fewshot_structure_weighted_retrieve_parity(R):
+    """Fewshot variant retrieval: weighted structure+semantic scores
+    (``RAGraph_node_fewshot/ragraph_utils/ToyGraphBase.py:47-79``) vs our
+    structure-path retrieve, with the reference's internal random anchor
+    draw mirrored under the same torch seed."""
+    from ragraph_tpu.ops.shortest_path import anchor_distances
+    from ragraph_tpu.rag.library import (LibraryConfig, ToyGraphLibrary,
+                                         retrieve)
+
+    rng = np.random.default_rng(33)
+    q_n, res_n, e_dim, c, a = 8, 15, 6, 3, 4
+    keys = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    vals = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    labels = np.eye(c, dtype=np.float32)[rng.integers(0, c, res_n)]
+    positions = rng.random((res_n, a)).astype(np.float32)
+    search_keys = rng.standard_normal((q_n, e_dim)).astype(np.float32)
+    search_adj = _rand_graph(rng, q_n, p=0.3, self_loops=False)
+
+    class NoEnc:
+        pass
+
+    tb = R.fewshot_ToyGraphBase(NoEnc(), num_class=c, emb_size=e_dim,
+                                query_graph_hop=2, retrieve_num=3)
+    tb.retrieve_num = 3
+    tb.num_anchors, tb.dis_q = a, 5
+    tb.structure_weight, tb.semantic_weight = 0.001, 0.999
+    tb.resource_keys = torch.tensor(keys)
+    tb.resource_values = torch.tensor(vals)
+    tb.resource_labels = torch.tensor(labels)
+    tb.resource_positions = torch.tensor(positions)
+    torch.manual_seed(5)
+    ref_emb, ref_lab = tb.retrieve(torch.tensor(search_keys),
+                                   torch.tensor(search_adj),
+                                   add_noise=False)
+
+    # mirror the internal anchor draw to build identical search positions
+    torch.manual_seed(5)
+    anchors = torch.randint(low=0, high=q_n, size=(a,)).numpy()
+    dist = np.asarray(anchor_distances(jnp.asarray(search_adj),
+                                       jnp.asarray(anchors), num_hops=5))
+    search_pos = np.where(dist < 5, 1.0 / (dist + 1.0), 0.0)
+
+    cfg = LibraryConfig(retrieve_num=3, structure_weight=0.001,
+                        semantic_weight=0.999, num_anchors=a, dis_q=5)
+    lib = ToyGraphLibrary(
+        keys=jnp.asarray(np.vstack([keys, np.zeros((1, e_dim),
+                                                   np.float32)])),
+        values=jnp.asarray(np.vstack([vals, np.zeros((1, e_dim),
+                                                     np.float32)])),
+        labels=jnp.asarray(np.vstack([labels, np.zeros((1, c),
+                                                       np.float32)])),
+        positions=jnp.asarray(np.vstack([positions,
+                                         np.zeros((1, a), np.float32)])),
+        fill=jnp.asarray(res_n, jnp.int32), capacity=res_n)
+    our_emb, our_lab = retrieve(
+        lib, jnp.asarray(search_keys), cfg,
+        search_positions=jnp.asarray(search_pos.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(our_emb), ref_emb.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_lab), ref_lab.numpy(),
+                               atol=1e-4)
