@@ -5,7 +5,9 @@ interactions = 2M directed edges, D=64, batch 8192, GraphPro pretrain,
 fwd+bwd+Adam).
 
 Endpoints measured via bench.py on v5e: scatter+f32+renorm (the r1
-default) 334 ms/step; fused+bf16+static (the r2 default) 88 ms/step.
+default) 334 ms/step; fused+bf16+static 88 ms/step (r2 mid-round);
+57.5 ms/step with the packed dual-half scan + in-triangle weights +
+pure bf16 gathers (r2 final — see docs/KERNEL_NOTES.md).
 Run this script on TPU to fill in the intermediate ablations.
 
 Run: python benchmarks/bench_edge_step.py
