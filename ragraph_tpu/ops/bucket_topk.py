@@ -192,7 +192,10 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     pair_s = jnp.tile(jnp.arange(k, dtype=jnp.int32), q_len)
     order = jnp.argsort(pair_b, stable=True)
     sb, sq, ss = pair_b[order], pair_q[order], pair_s[order]
-    first = jnp.searchsorted(sb, jnp.arange(nb), side="left")
+    # first occurrence of each bucket in the sorted pair list — ONE
+    # scatter-min (searchsorted lowers to a 15-gather binary search)
+    first = jnp.full((nb + 1,), q_len * k, jnp.int32).at[sb].min(
+        jnp.arange(q_len * k, dtype=jnp.int32), mode="drop")
     rank = jnp.arange(q_len * k, dtype=jnp.int32) - first[sb]
     real = sb < nb                    # exclude exhausted-slot sentinels
     in_cap = (rank < p_max) | ~real
