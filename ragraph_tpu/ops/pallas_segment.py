@@ -386,13 +386,16 @@ def sorted_segment_sum_grad(msgs: jax.Array, indptr: jax.Array,
 
     ``seg_ids`` is the per-row segment id (the sorted receivers) — needed
     only by the backward pass, which is a plain gather:
-    ``d msgs = d out[seg_ids]``.
+    ``d msgs = d out[seg_ids]``. Forward runs the packed dual-half scan
+    (f32 matmul — this is the AD-safe path, numerics preserved).
     """
-    return sorted_segment_sum_indptr(msgs, indptr, block=block)
+    return sorted_segment_sum_packed(msgs, indptr, block=block,
+                                     matmul_bf16=False)
 
 
 def _ssg_fwd(msgs, indptr, seg_ids, block):
-    return sorted_segment_sum_indptr(msgs, indptr, block=block), seg_ids
+    return sorted_segment_sum_packed(msgs, indptr, block=block,
+                                     matmul_bf16=False), seg_ids
 
 
 def _ssg_bwd(block, seg_ids, ct):
