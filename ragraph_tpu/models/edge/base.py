@@ -232,7 +232,12 @@ def lightgcn_propagate(all_emb: jax.Array, senders: jax.Array,
                 layers[-1], weights, weights_send, senders, recv_indptr,
                 recv_of_send, send_indptr, bf16=bf16, interpret=interpret))
             continue
-        msgs = layers[-1][senders] * weights[:, None]
+        # barrier the gather result so XLA cannot fuse the scale into the
+        # row gather (a fused gather+multiply runs ~1.6x slower on v5e —
+        # docs/KERNEL_NOTES.md); the multiply stays in XLA so weights
+        # remain differentiable on this AD-safe path
+        rows = jax.lax.optimization_barrier(layers[-1][senders])
+        msgs = rows * weights[:, None]
         if use_sorted:
             layers.append(sorted_segment_sum_grad(msgs, recv_indptr,
                                                   receivers))

@@ -267,7 +267,8 @@ class TemporalLightGCN:
                 h, weights, w_send, g.senders, g.recv_indptr,
                 g.recv_of_send, g.send_indptr, bf16=self._bf16(),
                 interpret=jax.default_backend() == "cpu")
-        msgs = h[g.senders] * weights[:, None]
+        rows = jax.lax.optimization_barrier(h[g.senders])  # keep the
+        msgs = rows * weights[:, None]                     # gather pure
         if impl == "sorted":
             from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_grad
             return sorted_segment_sum_grad(msgs, g.recv_indptr, g.receivers)
