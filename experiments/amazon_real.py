@@ -19,6 +19,12 @@ Measured (v5e single chip, avg over the 8 stages, recall@20 / ndcg@20):
   staged RAGraph, LoRA off             0.01165 / 0.00582  (~55 min)  ← best
   training-free vanilla RAGraph        0.00135 / 0.00080  (no tuning)
 
+After the round-2 kernel work (packed dual-half scan + pure bf16
+gathers, see docs/KERNEL_NOTES.md):
+
+  staged GraphPro (fine-tune, no RAG)  0.01146 / 0.00575  (8.1 min, 2.3x)
+  staged RAGraph, LoRA off             see results/*.json  (re-run)
+
 Findings: staged fine-tuning beats the frozen pretrain baseline by ~1.5x;
 RAG retrieval adds +7.6% recall over the no-RAG ablation; the rank-16
 LoRA constraint HURTS here (-18%) because the weak pretrained base (the
