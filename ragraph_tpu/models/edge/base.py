@@ -240,7 +240,8 @@ def lightgcn_propagate(all_emb: jax.Array, senders: jax.Array,
         msgs = rows * weights[:, None]
         if use_sorted:
             layers.append(sorted_segment_sum_grad(msgs, recv_indptr,
-                                                  receivers))
+                                                  receivers,
+                                                  interpret=interpret))
         else:
             layers.append(jax.ops.segment_sum(msgs, receivers,
                                               num_segments=num_nodes))

@@ -271,7 +271,9 @@ class TemporalLightGCN:
         msgs = rows * weights[:, None]                     # gather pure
         if impl == "sorted":
             from ragraph_tpu.ops.pallas_segment import sorted_segment_sum_grad
-            return sorted_segment_sum_grad(msgs, g.recv_indptr, g.receivers)
+            return sorted_segment_sum_grad(
+                msgs, g.recv_indptr, g.receivers,
+                interpret=jax.default_backend() == "cpu")
         return jax.ops.segment_sum(msgs, g.receivers,
                                    num_segments=g.num_nodes)
 

@@ -379,9 +379,10 @@ def sorted_segment_sum_packed(msgs: jax.Array, indptr: jax.Array,
     return _packed_boundary(excl, total, indptr, n, block, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def sorted_segment_sum_grad(msgs: jax.Array, indptr: jax.Array,
-                            seg_ids: jax.Array, block: int = 512):
+                            seg_ids: jax.Array, block: int = 512,
+                            interpret: bool = False):
     """Differentiable sorted segment sum (training path).
 
     ``seg_ids`` is the per-row segment id (the sorted receivers) — needed
@@ -390,15 +391,16 @@ def sorted_segment_sum_grad(msgs: jax.Array, indptr: jax.Array,
     (f32 matmul — this is the AD-safe path, numerics preserved).
     """
     return sorted_segment_sum_packed(msgs, indptr, block=block,
-                                     matmul_bf16=False)
+                                     matmul_bf16=False, interpret=interpret)
 
 
-def _ssg_fwd(msgs, indptr, seg_ids, block):
+def _ssg_fwd(msgs, indptr, seg_ids, block, interpret):
     return sorted_segment_sum_packed(msgs, indptr, block=block,
-                                     matmul_bf16=False), seg_ids
+                                     matmul_bf16=False,
+                                     interpret=interpret), seg_ids
 
 
-def _ssg_bwd(block, seg_ids, ct):
+def _ssg_bwd(block, interpret, seg_ids, ct):
     return ct[seg_ids].astype(jnp.float32), None, None
 
 

@@ -198,3 +198,40 @@ def test_segsum_packed2_w_matches_scatter():
         jnp.asarray(msgs * w[:, None]), jnp.asarray(ids),
         num_segments=n_segs))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_sorted_path_weight_gradients():
+    """Contract guard (CLAUDE.md): on the AD-safe ``impl='sorted'`` path,
+    gradients must flow through the per-edge WEIGHTS (the fused path
+    treats them as constants by design)."""
+    from ragraph_tpu.models.edge.base import lightgcn_propagate
+
+    rng = np.random.default_rng(17)
+    n, d, e = 40, 8, 200
+    send = rng.integers(0, n, e).astype(np.int32)
+    recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=n))]).astype(np.int32)
+    emb = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+
+    def loss_sorted(w):
+        layers = lightgcn_propagate(emb, jnp.asarray(send),
+                                    jnp.asarray(recv), w, n, 2,
+                                    recv_indptr=jnp.asarray(indptr),
+                                    impl="sorted", interpret=INTERPRET)
+        return (sum(layers) ** 2).sum()
+
+    def loss_ref(w):
+        h = emb
+        acc = emb
+        for _ in range(2):
+            h = jax.ops.segment_sum(h[jnp.asarray(send)] * w[:, None],
+                                    jnp.asarray(recv), num_segments=n)
+            acc = acc + h
+        return (acc ** 2).sum()
+
+    g1 = jax.grad(loss_sorted)(w)
+    g2 = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)
