@@ -12,6 +12,7 @@ arrays of a fixed size, so there is exactly one compilation.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 import time
 from typing import Any, Callable
 
@@ -54,7 +55,11 @@ class EdgeTrainer:
         """
         model = self.model
 
-        @jax.jit
+        # donate the optimizer state (Adam m+v = 2x the table memory):
+        # the updated state reuses the input buffers instead of a fresh
+        # allocation. Params are NOT donated — callers legitimately hold
+        # aliases (best-snapshot, re-running a step on two graphs).
+        @partial(jax.jit, donate_argnums=(1,))
         def step(params, opt_state, users, pos, neg, key, graph, resources):
             def loss_fn(p):
                 loss, aux = model.cal_loss(p, (users, pos, neg), key,

@@ -339,8 +339,10 @@ def test_graph_as_jit_argument_no_recompile(stream):
 
     _, _, loss_a, _ = step(params, opt_state, users, pos, neg, jr.key(1),
                            g_a, None)
-    _, _, loss_b, _ = step(params, opt_state, users, pos, neg, jr.key(1),
-                           g_b, None)
+    # opt_state is DONATED to the step (trainer-internal contract) —
+    # build a fresh one for the second call
+    _, _, loss_b, _ = step(params, opt.init(params), users, pos, neg,
+                           jr.key(1), g_b, None)
     assert step._cache_size() == 1  # no recompile for the second graph
     assert float(loss_a) != float(loss_b)  # and the graph actually matters
 
