@@ -92,6 +92,100 @@ def _rescore_kernel(assign_ref, q_ref, k_ref, vm_ref, out_ref, *,
         out_ref[b, :, :] = jnp.where(vm_b != 0, sc, NEG_INF)
 
 
+def _col_topk_kernel(x_ref, vals_ref, idx_ref, *, k: int):
+    """Per-COLUMN top-k of an (R, BQ) tile by k max-extractions, one
+    kernel instead of ~3k tiny XLA ops (their launch gaps dominate the
+    in-jit-chained exact-topk wall time). Ties -> lowest row index."""
+    x = x_ref[:].astype(jnp.float32)               # (R, BQ)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    big = jnp.int32(2 ** 30)
+    vs, ps = [], []
+    for _ in range(k):
+        cur = jnp.max(x, axis=0, keepdims=True)            # (1, BQ)
+        pos = jnp.min(jnp.where(x >= cur, row, big), axis=0,
+                      keepdims=True)                       # (1, BQ)
+        vs.append(cur)
+        ps.append(pos)
+        x = jnp.where(row == pos, NEG_INF, x)
+    vals_ref[:] = jnp.concatenate(vs, axis=0)
+    idx_ref[:] = jnp.concatenate(ps, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+def column_topk(x: jax.Array, k: int, block_q: int = 256,
+                interpret: bool = False):
+    """Exact top-k over axis 0 for every column of ``x (R, Q)``.
+
+    Returns ``(vals (Q, k), idx (Q, k))`` sorted descending — the same
+    result as ``iterative_topk(x.T, k)`` without materializing the
+    transpose. Pads Q to ``block_q``.
+    """
+    r, q = x.shape
+    pad = (-q) % block_q
+    x_in = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    qp = x_in.shape[1]
+    vals, idx = pl.pallas_call(
+        functools.partial(_col_topk_kernel, k=k),
+        grid=(qp // block_q,),
+        in_specs=[pl.BlockSpec((r, block_q), lambda j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((k, block_q), lambda j: (0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((k, block_q), lambda j: (0, j),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((k, qp), jnp.float32),
+                   jax.ShapeDtypeStruct((k, qp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x_in)
+    return vals.T[:q], idx.T[:q]
+
+
+def _row_topk_kernel(x_ref, vals_ref, idx_ref, *, k: int):
+    """Per-ROW top-k of a (BQ, W) tile (ties -> lowest column index)."""
+    x = x_ref[:].astype(jnp.float32)               # (BQ, W)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    big = jnp.int32(2 ** 30)
+    vs, ps = [], []
+    for _ in range(k):
+        cur = jnp.max(x, axis=1, keepdims=True)            # (BQ, 1)
+        pos = jnp.min(jnp.where(x >= cur, col, big), axis=1,
+                      keepdims=True)                       # (BQ, 1)
+        vs.append(cur)
+        ps.append(pos)
+        x = jnp.where(col == pos, NEG_INF, x)
+    vals_ref[:] = jnp.concatenate(vs, axis=1)
+    idx_ref[:] = jnp.concatenate(ps, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+def row_topk(x: jax.Array, k: int, block_q: int = 256,
+             interpret: bool = False):
+    """Exact top-k over axis 1 of ``x (Q, W)`` as ONE Pallas kernel —
+    same result as :func:`iterative_topk`."""
+    q, w = x.shape
+    pad = (-q) % block_q
+    x_in = jnp.pad(x, ((0, pad), (0, 0)), constant_values=NEG_INF)
+    qp = x_in.shape[0]
+    vals, idx = pl.pallas_call(
+        functools.partial(_row_topk_kernel, k=k),
+        grid=(qp // block_q,),
+        in_specs=[pl.BlockSpec((block_q, w), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((block_q, k), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_q, k), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((qp, k), jnp.float32),
+                   jax.ShapeDtypeStruct((qp, k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x_in)
+    return vals[:q], idx[:q]
+
+
 def iterative_topk(x: jax.Array, k: int):
     """Exact top-k by k unrolled max-extractions (XLA, fuses to ~3 VPU
     passes per extraction) — beats ``lax.top_k``'s full sort for small k
@@ -114,7 +208,7 @@ def iterative_topk(x: jax.Array, k: int):
                                     "interpret"))
 def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
                         valid_mask: jax.Array | None = None,
-                        block_q: int = 256, block_r: int = 2048,
+                        block_q: int = 512, block_r: int = 4096,
                         p_max: int = 32, interpret: bool = False):
     """Exact fused top-k at PartialReduce-like speed (see module doc).
 
@@ -181,7 +275,8 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     )(k_in, q_in, vm_in)
 
     # ---- glue: per-query top-k buckets, inverted to per-bucket lists ----
-    bvals, bucket_ids = iterative_topk(bm.T[:q_len], k)    # (Q, k)
+    bv, bi = column_topk(bm, k, interpret=interpret)       # no transpose
+    bvals, bucket_ids = bv[:q_len], bi[:q_len]             # (Q, k)
     # fewer than k non-empty buckets: the exhausted NEG_INF tail repeats
     # position 0 — replace those slots with the out-of-range sentinel so
     # no bucket is assigned (and thus scattered) twice
@@ -257,7 +352,7 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     cand = jax.lax.cond(n_over > 0, with_fallback, lambda c: c, cand)
     cand = cand[:q_len].reshape(q_len, k * LANE)
 
-    vals, pos = iterative_topk(cand, k)
+    vals, pos = row_topk(cand, k, interpret=interpret)
     slot_of = pos // LANE
     lane_of = pos % LANE
     g_bucket = jnp.take_along_axis(bucket_ids, slot_of, axis=1)
