@@ -64,6 +64,50 @@ def stop_trace():
     jax.profiler.stop_trace()
 
 
+def op_profile(fn, *args, iters: int = 3, min_ms: float = 0.05,
+               trace_dir: str = "/tmp/ragraph_opprofile") -> list[dict]:
+    """Per-op device self-times for ``fn(*args)`` via xprof.
+
+    Captures a trace of ``iters`` calls (synced through a scalar pull —
+    on tunneled platforms ``block_until_ready`` returns before device
+    compute finishes), converts it with xprof's ``framework_op_stats``,
+    and returns ``[{"type", "name", "occurrences", "ms_per_call"}, ...]``
+    sorted by cost, filtered to ops above ``min_ms``. This is the
+    ground-truth instrument behind every kernel decision in
+    docs/KERNEL_NOTES.md / STATUS.md.
+
+    Requires the ``xprof`` package (installed here); raises ImportError
+    otherwise.
+    """
+    import glob
+    import json as _json
+    import shutil
+
+    from xprof.convert import raw_to_tool_data as r2t
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    r = fn(*args)                                  # compile + warm
+    float(jnp.ravel(jax.tree.leaves(r)[0])[0])
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            r = fn(*args)
+        float(jnp.ravel(jax.tree.leaves(r)[0])[0])
+    files = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
+    data, _ = r2t.xspace_to_tool_data(files, "framework_op_stats", {})
+    rows = _json.loads(data.decode())[0]["rows"]
+    out = []
+    for row in rows:
+        c = [x["v"] for x in row["c"]]
+        hod, typ, name, occ, self_us = c[1], c[2], c[3], c[4], c[7]
+        if hod != "Device" or typ == "IDLE":
+            continue
+        ms = self_us / iters / 1000.0
+        if ms >= min_ms:
+            out.append({"type": typ, "name": str(name),
+                        "occurrences": occ, "ms_per_call": round(ms, 4)})
+    return sorted(out, key=lambda d: -d["ms_per_call"])
+
+
 def tree_all_finite(tree) -> jax.Array:
     """Scalar bool: every leaf of the pytree is finite."""
     leaves = [jnp.isfinite(x).all() for x in jax.tree.leaves(tree)

@@ -127,3 +127,28 @@ def test_unpadded_shapes():
     assert s.shape == (13, 4)
     assert np.all(np.asarray(i) < 3000)
     np.testing.assert_allclose(np.asarray(s), ref_s, atol=TOL, rtol=0)
+
+
+def test_column_and_row_topk_kernels():
+    """The Pallas k-extraction kernels must match iterative_topk exactly,
+    including tie resolution (lowest index) and padding."""
+    import jax
+    from ragraph_tpu.ops.bucket_topk import (column_topk, iterative_topk,
+                                             row_topk)
+
+    interp = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(5)
+    # deliberately introduce ties via a coarse grid of values
+    x = rng.integers(0, 7, size=(300, 130)).astype(np.float32)
+    k = 4
+
+    vr, ir = iterative_topk(jnp.asarray(x.T.copy()), k)
+    vc, ic = column_topk(jnp.asarray(x), k, block_q=128, interpret=interp)
+    np.testing.assert_array_equal(np.asarray(vc), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ir))
+
+    y = rng.integers(0, 7, size=(70, 260)).astype(np.float32)
+    vr2, ir2 = iterative_topk(jnp.asarray(y), k)
+    vw, iw = row_topk(jnp.asarray(y), k, block_q=64, interpret=interp)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vr2))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir2))
