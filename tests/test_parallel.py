@@ -336,3 +336,47 @@ def test_sharded_topk_kernel_local(mesh8, local_method):
                                atol=2e-2)  # bf16 scoring in the kernels
     match = (np.asarray(i_sh) == np.asarray(i_ref)).mean()
     assert match > 0.9
+
+
+def test_sharded_edge_propagation_matches_single_device(mesh8):
+    """Receiver-range-sharded fused propagation (shard_map + all_gather
+    table exchange) equals the single-device path in values AND in the
+    embedding gradient."""
+    import numpy as np
+    from ragraph_tpu.models.edge.base import lightgcn_propagate
+    from ragraph_tpu.parallel.edge_sharded import (
+        shard_edges_by_receiver, sharded_lightgcn_propagate)
+
+    rng = np.random.default_rng(41)
+    n, d, e, layers = 64, 8, 500, 2
+    send = rng.integers(0, n, e).astype(np.int32)
+    recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=n))]).astype(np.int32)
+
+    sharded = shard_edges_by_receiver(send, recv, w, n,
+                                      mesh8.devices.size)
+
+    def layers_sharded(emb):
+        return sharded_lightgcn_propagate(mesh8, emb, sharded, layers,
+                                          bf16=False)
+
+    def layers_single(emb):
+        return lightgcn_propagate(emb, jnp.asarray(send), jnp.asarray(recv),
+                                  jnp.asarray(w), n, layers,
+                                  recv_indptr=jnp.asarray(indptr),
+                                  impl="sorted", interpret=True)
+
+    for a, b in zip(layers_sharded(jnp.asarray(emb)),
+                    layers_single(jnp.asarray(emb))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    g1 = jax.grad(lambda x: (sum(layers_sharded(x)) ** 2).sum())(
+        jnp.asarray(emb))
+    g2 = jax.grad(lambda x: (sum(layers_single(x)) ** 2).sum())(
+        jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)
