@@ -225,11 +225,19 @@ def _load_edge(ns: SimpleNamespace):
         import modules.base_model  # noqa: F401
         import modules.utils  # noqa: F401
         import utils.metrics  # noqa: F401
+        graphprompt_pkg = types.ModuleType("modules.graphprompt")
+        graphprompt_pkg.__path__ = [f"{EDGE}/modules/graphprompt"]
+        sys.modules["modules.graphprompt"] = graphprompt_pkg
+        modules_pkg.graphprompt = graphprompt_pkg
+        parse_args.args.f_model = "graphprompt"
+        gp_mod = importlib.import_module("modules.graphprompt.GP")
+        graphprompt_pkg.GP = gp_mod
 
         ns.edge_args = parse_args.args  # live: mutate to steer the modules
         ns.edge_utils = modules.utils
         ns.edge_BaseModel = modules.base_model.BaseModel
         ns.edge_RAGraph = modules.RAGraph.RAGraph
+        ns.edge_GP = modules.graphprompt.GP.GP
         ns.edge_Metric = utils.metrics.Metric
     finally:
         sys.path[:] = saved_path

@@ -838,3 +838,58 @@ def test_fewshot_structure_weighted_retrieve_parity(R):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(our_lab), ref_lab.numpy(),
                                atol=1e-4)
+
+
+def test_graphprompt_gp_forward_parity(R):
+    """GraphPrompt/GPF edge baselines: the prompt-vector forward
+    (``RAGraph_edge/modules/graphprompt/GP.py:45-75``) vs
+    ``GraphPromptEdge.forward``, both prompt modes."""
+    from ragraph_tpu.models.edge import EdgeGraphArrays, EdgeModelConfig
+    from ragraph_tpu.models.edge.graphprompt import GraphPromptEdge
+
+    rng = np.random.default_rng(29)
+    U, I, D, M = 6, 9, 8, 40
+    n = U + I
+    u = rng.integers(0, U, M)
+    it = rng.integers(U, n, M)
+    send = np.concatenate([u, it]).astype(np.int32)
+    recv = np.concatenate([it, u]).astype(np.int32)
+    norm = rng.random(2 * M).astype(np.float32) + 0.1
+    user_emb = rng.standard_normal((U, D)).astype(np.float32)
+    item_emb = rng.standard_normal((I, D)).astype(np.float32)
+    prompt = rng.standard_normal((1, D)).astype(np.float32)
+
+    g = EdgeGraphArrays(senders=jnp.asarray(send),
+                        receivers=jnp.asarray(recv),
+                        edge_norm=jnp.asarray(norm),
+                        edge_times=jnp.zeros(2 * M, jnp.float32),
+                        num_users=U, num_items=I)
+    cfg = EdgeModelConfig(emb_size=D, num_layers=3)
+    R.edge_args.num_layers = 3
+
+    for mode in ("graphprompt", "gpf"):
+        ref = object.__new__(R.edge_GP)
+        torch.nn.Module.__init__(ref)
+        ref.num_users, ref.num_items = U, I
+        ref.phase = "finetune"
+        ref.user_embedding = torch.nn.Parameter(torch.tensor(user_emb))
+        ref.item_embedding = torch.nn.Parameter(torch.tensor(item_emb))
+        ref.prompt_vec = torch.nn.Parameter(torch.tensor(prompt))
+        if mode == "graphprompt":
+            ref.prompt_func = lambda x: torch.mul(x, ref.prompt_vec)
+        else:
+            ref.prompt_func = lambda x: x + ref.prompt_vec
+        R.edge_args.f_model = mode
+        t_edges = torch.tensor(np.stack([send, recv], axis=1))
+        with torch.no_grad():
+            ru, ri = ref.forward(t_edges, torch.tensor(norm))
+
+        model = GraphPromptEdge(cfg, g, phase="finetune", prompt_mode=mode)
+        params = {"user_embedding": jnp.asarray(user_emb),
+                  "item_embedding": jnp.asarray(item_emb),
+                  "prompt_vec": jnp.asarray(prompt)}
+        ou, oi = model.forward(params)
+        np.testing.assert_allclose(np.asarray(ou), ru.numpy(), atol=1e-4,
+                                   err_msg=mode)
+        np.testing.assert_allclose(np.asarray(oi), ri.numpy(), atol=1e-4,
+                                   err_msg=mode)
