@@ -893,3 +893,26 @@ def test_graphprompt_gp_forward_parity(R):
                                    err_msg=mode)
         np.testing.assert_allclose(np.asarray(oi), ri.numpy(), atol=1e-4,
                                    err_msg=mode)
+
+
+def test_gru_cell_torch_parity(R):
+    """The dynamic models' functional GRU must match ``torch.nn.GRUCell``
+    bit-for-bit semantics (gate ordering r,z,n; reset applied inside the
+    candidate's hidden term) — the cell under ROLAND / EvolveGCN-H/-O
+    (``modules/dynamicGNN/roland.py:115-133``, ``evolveGCN_*.py``)."""
+    from ragraph_tpu.models.edge.dynamic import gru_cell
+
+    rng = np.random.default_rng(37)
+    h_dim, b = 16, 5
+    cell = torch.nn.GRUCell(h_dim, h_dim)
+    x = rng.standard_normal((b, h_dim)).astype(np.float32)
+    h = rng.standard_normal((b, h_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = cell(torch.tensor(x), torch.tensor(h)).numpy()
+
+    params = {"w_ih": jnp.asarray(cell.weight_ih.detach().numpy()),
+              "w_hh": jnp.asarray(cell.weight_hh.detach().numpy()),
+              "b_ih": jnp.asarray(cell.bias_ih.detach().numpy()),
+              "b_hh": jnp.asarray(cell.bias_hh.detach().numpy())}
+    ours = np.asarray(gru_cell(params, jnp.asarray(x), jnp.asarray(h)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
