@@ -916,3 +916,33 @@ def test_gru_cell_torch_parity(R):
               "b_hh": jnp.asarray(cell.bias_hh.detach().numpy())}
     ours = np.asarray(gru_cell(params, jnp.asarray(x), jnp.asarray(h)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_lora_svd_init_and_gate_parity(R):
+    """LoRA SVD factor initialization (``modules/RAGraph.py:130-155``)
+    and the learned gate (``:171``) vs ours, on identical weights.
+
+    SVD sign conventions differ between frameworks, so the factor
+    PRODUCT A@B (the rank-r approximation, which is what enters the
+    forward) is compared, not the factors."""
+    from ragraph_tpu.nn.gating import learned_gate
+    from ragraph_tpu.nn.lora import svd_init
+
+    rng = np.random.default_rng(43)
+    n, d, r = 20, 12, 4
+    table = rng.standard_normal((n, d)).astype(np.float32)
+
+    U, S, V = torch.svd(torch.tensor(table))
+    ref_ab = ((U[:, :r] @ torch.diag(S[:r])) @ V[:, :r].t()).numpy()
+    a, b = svd_init(jnp.asarray(table), r)
+    np.testing.assert_allclose(np.asarray(a @ b), ref_ab, atol=1e-4)
+
+    gw = rng.standard_normal((d, d)).astype(np.float32)
+    gb = rng.standard_normal((1, d)).astype(np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    tx = torch.tensor(x)
+    ref_gate = (tx * torch.sigmoid(
+        tx @ torch.tensor(gw) + torch.tensor(gb))).numpy()
+    ours = np.asarray(learned_gate(jnp.asarray(x), jnp.asarray(gw),
+                                   jnp.asarray(gb), 0.0, None))
+    np.testing.assert_allclose(ours, ref_gate, atol=1e-5)
