@@ -119,8 +119,16 @@ def column_topk(x: jax.Array, k: int, block_q: int = 256,
     Returns ``(vals (Q, k), idx (Q, k))`` sorted descending — the same
     result as ``iterative_topk(x.T, k)`` without materializing the
     transpose. Pads Q to ``block_q``.
+
+    The whole ``(r, block_q)`` column block must sit in VMEM (128 MB on
+    v5e, double-buffered, shared with the out/scratch windows):
+    ``block_q`` shrinks automatically for tall inputs; above ~48k rows
+    callers should use ``iterative_topk`` on the transpose instead
+    (``bucketed_exact_topk`` does).
     """
     r, q = x.shape
+    while block_q > 128 and r * block_q * 4 * 2 > 50_000_000:
+        block_q //= 2
     pad = (-q) % block_q
     x_in = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
     qp = x_in.shape[1]
@@ -275,8 +283,13 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     )(k_in, q_in, vm_in)
 
     # ---- glue: per-query top-k buckets, inverted to per-bucket lists ----
-    bv, bi = column_topk(bm, k, interpret=interpret)       # no transpose
-    bvals, bucket_ids = bv[:q_len], bi[:q_len]             # (Q, k)
+    if nb * 128 * 4 * 2 <= 50_000_000:
+        bv, bi = column_topk(bm, k, interpret=interpret)   # no transpose
+        bvals, bucket_ids = bv[:q_len], bi[:q_len]         # (Q, k)
+    else:
+        # very tall bucket matrix (R > ~12M rows): the per-column kernel
+        # block no longer fits VMEM — extract on the transpose
+        bvals, bucket_ids = iterative_topk(bm.T[:q_len], k)
     # fewer than k non-empty buckets: the exhausted NEG_INF tail repeats
     # position 0 — replace those slots with the out-of-range sentinel so
     # no bucket is assigned (and thus scattered) twice
