@@ -115,8 +115,27 @@ def _load_node(ns: SimpleNamespace):
         try:
             mod = importlib.import_module(f"{pkg_name}.ToyGraphBase")
             setattr(ns, f"{prefix}_ToyGraphBase", mod.ToyGraphBase)
+            # the variant's top-level RAGraph model (imports
+            # `from ragraph_utils import ...` absolutely)
+            prop_mod = importlib.import_module(f"{pkg_name}.Propagation")
+            rgu_alias = types.ModuleType("ragraph_utils")
+            rgu_alias.ToyGraphBase = mod.ToyGraphBase
+            rgu_alias.Propagation = prop_mod.Propagation
+            for extra in ("TaskDecoder", "FewShotBase"):
+                try:
+                    em = importlib.import_module(f"{pkg_name}.{extra}")
+                    setattr(rgu_alias, extra, getattr(em, extra))
+                except (ImportError, AttributeError):
+                    pass
+            sys.modules["ragraph_utils"] = rgu_alias
+            try:
+                rag_mod = _load_file(f"ref{prefix}_RAGraph",
+                                     f"{tree}/RAGraph.py")
+                setattr(ns, f"{prefix}_RAGraph", rag_mod.RAGraph)
+            except Exception:  # noqa: BLE001 — variant tree may differ
+                pass
         finally:
-            _purge([pkg_name])
+            _purge([pkg_name, "ragraph_utils"])
             if not had_tg:
                 _purge(["torch_geometric"])
 

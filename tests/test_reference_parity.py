@@ -946,3 +946,95 @@ def test_lora_svd_init_and_gate_parity(R):
     ours = np.asarray(learned_gate(jnp.asarray(x), jnp.asarray(gw),
                                    jnp.asarray(gb), 0.0, None))
     np.testing.assert_allclose(ours, ref_gate, atol=1e-5)
+
+
+def test_fewshot_ragraph_forward_parity(R):
+    """Fewshot top-level forward: encode -> retrieve -> prototype logits
+    ``protos[argmax(rag_labels)]`` -> fusion -> decode blend, executing
+    the reference's own ``RAGraph_node_fewshot/RAGraph.py:47-83`` class
+    (instantiated via __new__ around a deterministically-populated
+    ToyGraphBase; structure weight 0 so its internal random anchor draw
+    is inert — the structure term has its own parity test)."""
+    import dataclasses as _dc
+    from ragraph_tpu.models.ragraph_fewshot import (RAGraphFewshot,
+                                                    RAGraphFewshotConfig)
+    from ragraph_tpu.rag.library import ToyGraphLibrary
+    from ragraph_tpu.models.ragraph_fewshot import fewshot_library_config
+
+    rng = np.random.default_rng(51)
+    n, f_dim, e_dim, c, res_n, k = 11, 6, 8, 3, 18, 4
+    hop = 3
+    w_enc = rng.standard_normal((f_dim, e_dim)).astype(np.float32) * 0.3
+    w_dec = rng.standard_normal((e_dim, e_dim)).astype(np.float32) * 0.3
+    protos = rng.standard_normal((c, e_dim)).astype(np.float32)
+    keys_r = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    vals_r = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    labels_r = np.eye(c, dtype=np.float32)[rng.integers(0, c, res_n)]
+    qf = rng.standard_normal((n, f_dim)).astype(np.float32)
+    qa = _rand_graph(rng, n)
+    qa = qa / qa.sum(axis=1, keepdims=True)
+
+    class Stub:
+        def encode(self, features, adj):
+            return features @ torch.tensor(w_enc)
+
+        def decode(self, hidden, adj):
+            return hidden @ torch.tensor(w_dec)
+
+    tb = R.fewshot_ToyGraphBase(Stub(), num_class=c, emb_size=e_dim,
+                                query_graph_hop=hop, retrieve_num=k)
+    tb.retrieve_num = k
+    tb.structure_weight, tb.semantic_weight = 0.0, 0.999
+    tb.num_anchors, tb.dis_q = 4, 5
+    tb.resource_keys = torch.tensor(keys_r)
+    tb.resource_values = torch.tensor(vals_r)
+    tb.resource_labels = torch.tensor(labels_r)
+    tb.resource_positions = torch.tensor(
+        rng.random((res_n, 4)).astype(np.float32))
+
+    ref = object.__new__(R.fewshot_RAGraph)
+    torch.nn.Module.__init__(ref)
+    ref.emb_size = e_dim
+    ref.pretrain_model = Stub()
+    ref.retrieve_weight = ref.label_weight = 0.5   # ENZYMES knobs
+    ref.finetune, ref.noise_finetune = True, False
+    ref.query_graph_hop = hop
+    ref.toy_graph_base = tb
+    ref.eval()
+    with torch.no_grad():
+        ref_ft = ref(torch.tensor(qf), torch.tensor(qa),
+                     torch.tensor(protos)).numpy()
+    ref.finetune = False
+    with torch.no_grad():
+        ref_tf = ref(torch.tensor(qf), torch.tensor(qa),
+                     torch.tensor(protos)).numpy()
+
+    libcfg = fewshot_library_config(retrieve_num=k, structure_weight=0.0,
+                                    use_positions=False,
+                                    num_inverse_sample=0,
+                                    num_augment_scale=0)
+    cfg = RAGraphFewshotConfig(emb_size=e_dim, num_class=c,
+                               query_graph_hop=hop, library=libcfg)
+    model = RAGraphFewshot(cfg, feature_dim=f_dim)
+    model._encode = lambda params, f, a, m=None: f @ jnp.asarray(w_enc)
+    model._decode = lambda params, h, a, m=None: h @ jnp.asarray(w_dec)
+    pad = lambda x: np.vstack([x, np.zeros((1,) + x.shape[1:], np.float32)])
+    lib = ToyGraphLibrary(
+        keys=jnp.asarray(pad(keys_r)), values=jnp.asarray(pad(vals_r)),
+        labels=jnp.asarray(pad(labels_r)),
+        positions=jnp.zeros((res_n + 1, libcfg.num_anchors)),
+        fill=jnp.asarray(res_n, jnp.int32), capacity=res_n)
+
+    ours_ft = np.asarray(model._fuse_one(
+        None, lib, jnp.asarray(protos), jnp.asarray(qf), jnp.asarray(qa),
+        jnp.ones((n,), bool), training=False, key=None))
+    np.testing.assert_allclose(ours_ft, ref_ft, atol=1e-4)
+
+    model_tf = RAGraphFewshot(_dc.replace(cfg, finetune=False),
+                              feature_dim=f_dim)
+    model_tf._encode = model._encode
+    model_tf._decode = model._decode
+    ours_tf = np.asarray(model_tf._fuse_one(
+        None, lib, jnp.asarray(protos), jnp.asarray(qf), jnp.asarray(qa),
+        jnp.ones((n,), bool), training=False, key=None))
+    np.testing.assert_allclose(ours_tf, ref_tf, atol=1e-4)
