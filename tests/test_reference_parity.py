@@ -1038,3 +1038,96 @@ def test_fewshot_ragraph_forward_parity(R):
         None, lib, jnp.asarray(protos), jnp.asarray(qf), jnp.asarray(qa),
         jnp.ones((n,), bool), training=False, key=None))
     np.testing.assert_allclose(ours_tf, ref_tf, atol=1e-4)
+
+
+def test_graph_ragraph_forward_parity(R):
+    """Graph-level top-level forward: mean-pooled query -> retrieve ->
+    fusion -> decoder-softmax blend, executing the reference's own
+    ``RAGraph_graph/RAGraph.py:49-76`` class around a deterministic
+    ToyGraphBase, finetune and training-free paths."""
+    import types as _types
+    import dataclasses as _dc
+    from ragraph_tpu.models.ragraph_graph import (RAGraphGraph,
+                                                  RAGraphGraphConfig)
+    from ragraph_tpu.models.ragraph_node import RAGraphNodeState
+    from ragraph_tpu.rag.library import LibraryConfig, ToyGraphLibrary
+
+    rng = np.random.default_rng(57)
+    n, f_dim, e_dim, c, res_n, k = 9, 5, 8, 3, 14, 3
+    hop = 2
+    w_enc = rng.standard_normal((f_dim, e_dim)).astype(np.float32) * 0.3
+    keys_r = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    vals_r = rng.standard_normal((res_n, e_dim)).astype(np.float32)
+    labels_r = np.eye(c, dtype=np.float32)[rng.integers(0, c, res_n)]
+    qf = rng.standard_normal((n, f_dim)).astype(np.float32)
+    qa = _rand_graph(rng, n)
+    qa = qa / qa.sum(axis=1, keepdims=True)
+
+    class Stub:
+        def inference(self, features, adj):
+            return features @ torch.tensor(w_enc)
+
+    tb = R.graph_ToyGraphBase(Stub(), num_class=c, emb_size=e_dim,
+                              query_graph_hop=hop)
+    tb.retrieve_num = k
+    tb.resource_keys = torch.tensor(keys_r)
+    tb.resource_values = torch.tensor(vals_r)
+    tb.resource_labels = torch.tensor(labels_r)
+    torch.manual_seed(9)
+    ref_decoder = R.node_TaskDecoder(e_dim, e_dim, c)
+
+    ref = object.__new__(R.graph_RAGraph)
+    torch.nn.Module.__init__(ref)
+    ref.emb_size, ref.num_class = e_dim, c
+    ref.pretrain_model = Stub()
+    ref.retrieve_weight = ref.label_weight = 0.3
+    ref.finetune, ref.noise_finetune = True, False
+    ref.query_graph_hop = hop
+    ref.toy_graph_base = tb
+    ref.decoder = ref_decoder
+    ref.eval()
+    with torch.no_grad():
+        ref_ft = ref(torch.tensor(qf), torch.tensor(qa)).numpy()
+    ref.finetune = False
+    with torch.no_grad():
+        ref_tf = ref(torch.tensor(qf), torch.tensor(qa)).numpy()
+
+    libcfg = LibraryConfig(level="graph", num_inverse_sample=0,
+                           num_augment_scale=0, retrieve_num=k,
+                           toy_graph_hop=hop - 1, use_positions=False,
+                           noise_mode="gaussian")
+    cfg = RAGraphGraphConfig(emb_size=e_dim, num_class=c,
+                             query_graph_hop=hop, retrieve_weight=0.3,
+                             label_weight=0.3, library=libcfg)
+    model = RAGraphGraph(cfg, feature_dim=f_dim)
+    model.encoder = _types.SimpleNamespace(
+        apply=lambda params, f, a, m=None, method=None: f @ jnp.asarray(
+            w_enc),
+        inference=None)
+    dec_params = {"params": {
+        "Dense_0": {"kernel": jnp.asarray(
+            ref_decoder.fc1.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref_decoder.fc1.bias.detach().numpy())},
+        "Dense_1": {"kernel": jnp.asarray(
+            ref_decoder.fc2.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref_decoder.fc2.bias.detach().numpy())},
+    }}
+    pad = lambda x: np.vstack([x, np.zeros((1,) + x.shape[1:], np.float32)])
+    lib = ToyGraphLibrary(
+        keys=jnp.asarray(pad(keys_r)), values=jnp.asarray(pad(vals_r)),
+        labels=jnp.asarray(pad(labels_r)),
+        positions=jnp.zeros((res_n + 1, libcfg.num_anchors)),
+        fill=jnp.asarray(res_n, jnp.int32), capacity=res_n)
+    state = RAGraphNodeState(encoder_params=None, decoder_params=dec_params,
+                             library=lib)
+    batch = {"features": jnp.asarray(qf)[None], "adj": jnp.asarray(qa)[None],
+             "node_mask": jnp.ones((1, n), bool)}
+
+    ours_ft = np.asarray(model.forward(state, batch))
+    np.testing.assert_allclose(ours_ft, ref_ft, atol=1e-4)
+
+    model_tf = RAGraphGraph(_dc.replace(cfg, finetune=False),
+                            feature_dim=f_dim)
+    model_tf.encoder = model.encoder
+    ours_tf = np.asarray(model_tf.forward(state, batch))
+    np.testing.assert_allclose(ours_tf, ref_tf, atol=1e-4)
