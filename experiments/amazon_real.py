@@ -24,6 +24,7 @@ gathers, see docs/KERNEL_NOTES.md):
 
   staged GraphPro (fine-tune, no RAG)  0.01146 / 0.00575  (8.1 min, 2.3x)
   staged RAGraph, LoRA off             0.01222 / 0.00613  (23.2 min, 2.4x)
+  staged RAGraph + LoRA (ref default)  0.01005 / 0.00498  (24.8 min, 2.0x)
 
 RAG retrieval still buys +6.6% recall over the no-RAG ablation at the
 new speeds; metrics match the pre-rewrite runs within seed noise (the
