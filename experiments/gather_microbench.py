@@ -17,6 +17,10 @@ Findings on v5e (this file reproduces them):
     the remote compiler (HTTP 500) at every (CH, D) config tried, so a
     VMEM-resident-chunk gather kernel is not currently buildable.
 
+Absolute gather times swing ~2x run-to-run with chip state / live HBM
+pressure (2.2-5.2 ms observed for the bf16 random gather); the RATIOS
+(f32 penalty, fused-scale penalty, pattern insensitivity) are stable.
+
 Timing on the tunneled axon platform: ``block_until_ready`` returns
 before device compute finishes — only a device->host transfer of a
 dependent value syncs, so every measurement pulls a scalar and subtracts
