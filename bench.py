@@ -32,6 +32,18 @@ import numpy as np
 R, E, Q, K = 262_144, 128, 2048, 10
 WARMUP, ITERS = 3, 50
 EDGE_ITERS = 20
+NODE_ITERS = 20
+
+# Calibration (VERDICT r2 #1): the round-2 driver capture ran during a
+# degraded chip/tunnel state and recorded numbers 28x below the code's
+# real performance, with nothing in bench.py to notice. Before (and
+# after) timing anything we run a fixed 8k x 8k bf16 matmul chain with a
+# known cost; if achieved TFLOP/s is far below the chip's expectation we
+# back off and retry, and if it never recovers the JSON self-identifies
+# with "degraded": true plus the probe's number.
+PROBE_N, PROBE_CHAIN = 8192, 8
+PROBE_MIN_FRACTION = 0.25   # healthy ~0.65 of peak; r2's bad capture ~0.02
+PROBE_BACKOFFS = (30, 60, 120, 240)  # seconds between retries
 
 # dense bf16 peak FLOP/s and HBM bandwidth by device_kind substring
 # (public TPU specs)
@@ -64,6 +76,56 @@ def compiled_costs(fn, *args):
                 float(b) if b and b > 0 else None)
     except Exception:
         return None, None
+
+
+def calibration_probe(roundtrip: float) -> float:
+    """Achieved TFLOP/s on a fixed 8k x 8k bf16 matmul chain.
+
+    The probe is pure MXU work with a known FLOP count, so its achieved
+    rate is a direct health check of the chip + tunnel independent of any
+    framework code being benchmarked.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.full((PROBE_N, PROBE_N), 0.5, jnp.bfloat16)
+    w = jnp.full((PROBE_N, PROBE_N), 2.0 / PROBE_N, jnp.bfloat16)
+
+    @jax.jit
+    def chain(x, w):
+        def body(_, c):
+            # row-stochastic-ish w keeps values ~0.5 forever: finite, and
+            # each iteration depends on the previous (no DCE).
+            y = jnp.dot(c, w, preferred_element_type=jnp.float32)
+            return y.astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, PROBE_CHAIN, body, x)[0, 0]
+
+    float(chain(x, w))  # compile
+    totals = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(chain(x, w))
+        totals.append(time.perf_counter() - t0)
+    dt = max(min(totals) - roundtrip, 1e-9)
+    return PROBE_CHAIN * 2.0 * PROBE_N**3 / dt / 1e12
+
+
+def wait_until_healthy(roundtrip: float, peak: float | None):
+    """Probe; if degraded, back off and retry (the tunnel recovers).
+
+    Returns (probe_tflops, degraded).
+    """
+    floor = (PROBE_MIN_FRACTION * peak / 1e12) if peak else 20.0
+    tf = calibration_probe(roundtrip)
+    for backoff in PROBE_BACKOFFS:
+        if tf >= floor:
+            return tf, False
+        print(f"# calibration probe {tf:.1f} TFLOP/s < floor {floor:.1f} "
+              f"— chip/tunnel degraded, retrying in {backoff}s",
+              file=sys.stderr)
+        time.sleep(backoff)
+        tf = calibration_probe(roundtrip)
+    return tf, tf < floor
 
 
 def bench_tpu():
@@ -182,9 +244,11 @@ def bench_edge_step(roundtrip):
     cfg = EdgeModelConfig(emb_size=D, num_layers=3, edge_dropout=0.2)
     model = GraphPro(cfg, g, phase="pretrain")
     params = model.init_params(jax.random.key(0))
+    # item ids are 0-based within the item table (cal_loss indexes the
+    # split item half)
     batch = (jnp.asarray(rng.integers(0, U, B).astype(np.int32)),
-             jnp.asarray(rng.integers(U, U + I, B).astype(np.int32)),
-             jnp.asarray(rng.integers(U, U + I, B).astype(np.int32)))
+             jnp.asarray(rng.integers(0, I, B).astype(np.int32)),
+             jnp.asarray(rng.integers(0, I, B).astype(np.int32)))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
@@ -217,6 +281,125 @@ def bench_edge_step(roundtrip):
         (bytes_acc / dt if bytes_acc else None)
 
 
+def measure_roundtrip():
+    """Tunnel roundtrip latency for a scalar materialization."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.float32(1.0)
+    for _ in range(WARMUP):
+        float(f(x))
+    t0 = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t0
+
+
+def bench_library_build():
+    """Library-build throughput (graphs/s): the vmapped per-graph pipeline
+    (pagerank inverse sampling + augmentation + encoder + k-hop
+    propagation + position codes) that replaces the reference's per-graph
+    Python loop (``RAGraph_node/ragraph_utils/ToyGraphBase.py:40-45``).
+    Same workload as benchmarks/bench_library_build.py."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ragraph_tpu.core.graph import normalize_adj_dense
+    from ragraph_tpu.rag.library import LibraryConfig, build_entries_batch
+
+    B, N, F, HID, C = 128, 32, 16, 64, 3
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(B, N, F)).astype(np.float32)
+    adj = (rng.random((B, N, N)) < 0.2).astype(np.float32)
+    adj = np.triu(adj, 1)
+    adj = adj + adj.transpose(0, 2, 1)
+    labels = np.eye(C, dtype=np.float32)[rng.integers(0, C, (B, N))]
+    w = jax.random.normal(jax.random.key(0), (F, HID)) * 0.1
+
+    def encoder(f, a, mask=None):
+        return jnp.tanh(a @ (f @ w))
+
+    cfg = LibraryConfig(level="node", num_inverse_sample=10,
+                        num_augment_scale=3, use_positions=True,
+                        num_anchors=10, dis_q=10, toy_graph_hop=2)
+    build = jax.jit(partial(build_entries_batch, encoder, cfg=cfg))
+    adj_n = jax.vmap(normalize_adj_dense)(jnp.asarray(adj))
+    args = (jnp.asarray(feats), adj_n, jnp.asarray(labels),
+            jnp.ones((B, N), bool), jnp.zeros((B, C)))
+    jax.block_until_ready(build(*args, key=jax.random.key(1)))  # compile
+    iters = 30
+    t0 = time.perf_counter()
+    outs = [build(*args, key=jax.random.key(i)) for i in range(iters)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt
+
+
+def bench_node_step(roundtrip):
+    """One RAGraph node-task fine-tune step (forward incl. retrieval from
+    a 4096-entry library + backward + Adam) on a 2048-node dense graph,
+    emb 256 — the ``RAGraph_node/finetune-rag.py:75-84`` inner loop.
+    Returns step seconds."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import dataclasses
+
+    from ragraph_tpu.core.graph import DenseGraph, normalize_adj_dense
+    from ragraph_tpu.models.ragraph_node import (RAGraphNode,
+                                                 RAGraphNodeConfig)
+
+    N, F, C, CAP = 2048, 256, 10, 4096
+    cfg = RAGraphNodeConfig(emb_size=256, num_class=C)
+    model = RAGraphNode(cfg, F)
+    state = model.init_state(jax.random.key(0), library_capacity=CAP)
+    rng = np.random.default_rng(2)
+    # populate the library so retrieval hits real rows
+    lib = dataclasses.replace(
+        state.library,
+        keys=jnp.asarray(rng.normal(size=(CAP + 1, 256)), jnp.float32),
+        values=jnp.asarray(rng.normal(size=(CAP + 1, 256)), jnp.float32),
+        labels=jnp.asarray(
+            np.eye(C, dtype=np.float32)[rng.integers(0, C, CAP + 1)]),
+        fill=jnp.asarray(CAP, jnp.int32))
+    state = dataclasses.replace(state, library=lib)
+
+    a = (rng.random((N, N)) < 0.01).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    graph = DenseGraph(
+        features=jnp.asarray(rng.normal(size=(N, F)), jnp.float32),
+        adj=normalize_adj_dense(jnp.asarray(a)),
+        node_mask=jnp.ones((N,), bool),
+        labels=jnp.asarray(np.eye(C, dtype=np.float32)[
+            rng.integers(0, C, N)]),
+        graph_ids=jnp.zeros((N,), jnp.int32),
+        num_graphs=jnp.asarray(1, jnp.int32))
+
+    opt = optax.adam(1e-3)
+    params = {"encoder": state.encoder_params,
+              "decoder": state.decoder_params}
+    opt_state = opt.init(params)
+    train_step = model.make_train_step(opt)
+
+    @jax.jit
+    def chain(state, opt_state, graph, key):
+        def body(i, c):
+            s, o, acc = c
+            s, o, l = train_step(s, o, graph, jax.random.fold_in(key, i))
+            return (s, o, acc + l)
+        return jax.lax.fori_loop(
+            0, NODE_ITERS, body, (state, opt_state, jnp.float32(0)))[2]
+
+    key = jax.random.key(3)
+    float(chain(state, opt_state, graph, key))  # compile
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(state, opt_state, graph, key))
+        totals.append(time.perf_counter() - t0)
+    return max((min(totals) - roundtrip) / NODE_ITERS, 1e-9)
+
+
 def bench_torch_cpu():
     import torch
     torch.manual_seed(0)
@@ -242,12 +425,29 @@ def bench_torch_cpu():
 
 
 def main():
+    peak, peak_bw = chip_peaks()
+    roundtrip0 = measure_roundtrip()
+    probe_tf, degraded = wait_until_healthy(roundtrip0, peak)
+    print(f"# calibration probe: {probe_tf:.1f} TFLOP/s "
+          f"(degraded={degraded})", file=sys.stderr)
+
     tpu_qps, recall, dt, flops_s, roundtrip = bench_tpu()
     edge_dt, edge_flops_s, edge_bytes_s = bench_edge_step(roundtrip)
+    lib_gps = bench_library_build()
+    node_dt = bench_node_step(roundtrip)
     cpu_qps = bench_torch_cpu()
     speedup = tpu_qps / cpu_qps
 
-    peak, peak_bw = chip_peaks()
+    # post-measurement probe: if the chip degraded DURING the run, the
+    # numbers above are suspect — flag them.
+    probe_tf_post = calibration_probe(roundtrip0)
+    floor = (PROBE_MIN_FRACTION * peak / 1e12) if peak else 20.0
+    if probe_tf_post < floor:
+        degraded = True
+        print(f"# post-run probe {probe_tf_post:.1f} TFLOP/s < floor "
+              f"{floor:.1f} — chip degraded during measurement",
+              file=sys.stderr)
+
     mfu = round(flops_s / peak, 4) if peak else None
     # the edge step is gather/bandwidth-bound, so its utilization metric
     # is achieved HBM bytes/s over peak, not FLOP/s
@@ -258,7 +458,9 @@ def main():
           f"{flops_s/1e12:.1f} TFLOP/s = {mfu} MFU); "
           f"edge train step {edge_dt*1e3:.2f} ms "
           f"({(edge_bytes_s or 0)/1e9:.0f} GB/s = {edge_bwu} of peak HBM "
-          f"bw); torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
+          f"bw); library build {lib_gps:,.0f} graphs/s; "
+          f"node step {node_dt*1e3:.2f} ms; "
+          f"torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
     print(json.dumps({
         "metric": "retrieval_qps",
         "value": round(tpu_qps, 1),
@@ -267,6 +469,11 @@ def main():
         "mfu": mfu,
         "edge_step_ms": round(edge_dt * 1e3, 3),
         "edge_step_bw_util": edge_bwu,
+        "library_build_gps": round(lib_gps, 1),
+        "node_step_ms": round(node_dt * 1e3, 3),
+        "probe_tflops": round(probe_tf, 1),
+        "probe_tflops_post": round(probe_tf_post, 1),
+        "degraded": degraded,
     }))
 
 

@@ -26,7 +26,17 @@ def build_parser():
     p.add_argument("--data-path", default="SYNTH")
     p.add_argument("--model", default="RAGraph",
                    choices=["RAGraph", "GraphPro", "LightGCN", "SGL",
-                            "SimGCL", "MixGCF"])
+                            "SimGCL", "MixGCF", "GP",
+                            "roland", "evolvegcn_h", "evolvegcn_o"])
+    p.add_argument("--dynamic", default=None,
+                   choices=["roland", "evolvegcn_h", "evolvegcn_o"],
+                   help="cross a plugin --model with a dynamic-GNN "
+                        "evolution (modules/dynamicGNN/plugin_dynamic/"
+                        "{SGL,SimGCL,MixGCF}_dynamic.py crosses)")
+    p.add_argument("--prompt", default=None,
+                   choices=["graphprompt", "gpf"],
+                   help="cross a plugin --model with a prompt vector "
+                        "(modules/graphprompt/plugin_gp/*_gp.py crosses)")
     p.add_argument("--noise", action="store_true")
     p.add_argument("--emb-size", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=3)
@@ -44,16 +54,50 @@ def build_parser():
     return p
 
 
-MODEL_CLASSES = {}
+DYNAMIC_MODELS = ("roland", "evolvegcn_h", "evolvegcn_o")
 
 
-def _model_cls(name):
-    from ragraph_tpu.models.edge import (GraphPro, LightGCNEdge,
-                                         MixGCFPlugin, RAGraphEdge,
-                                         SGLPlugin, SimGCLPlugin)
-    return {"RAGraph": RAGraphEdge, "GraphPro": GraphPro,
-            "LightGCN": LightGCNEdge, "SGL": SGLPlugin,
-            "SimGCL": SimGCLPlugin, "MixGCF": MixGCFPlugin}[name]
+def _model_cls(args_or_name):
+    """Resolve --model (+ optional --dynamic / --prompt crosses) to a
+    class — the full baseline zoo the reference launches by name
+    (``RAGraph_edge/pretrain.py:22-28``, crosses via
+    ``modules/dynamicGNN/build_on_plugin.py`` /
+    ``modules/graphprompt/plugin_gp``)."""
+    from ragraph_tpu.models.edge import (EvolveGCNH, EvolveGCNO,
+                                         GraphPro, GraphPromptEdge,
+                                         LightGCNEdge, MixGCFPlugin,
+                                         RAGraphEdge, Roland, SGLPlugin,
+                                         SimGCLPlugin, make_dynamic,
+                                         make_prompted)
+    if isinstance(args_or_name, str):
+        name, dynamic, prompt = args_or_name, None, None
+    else:
+        name = args_or_name.model
+        dynamic = getattr(args_or_name, "dynamic", None)
+        prompt = getattr(args_or_name, "prompt", None)
+    cls = {"RAGraph": RAGraphEdge, "GraphPro": GraphPro,
+           "LightGCN": LightGCNEdge, "SGL": SGLPlugin,
+           "SimGCL": SimGCLPlugin, "MixGCF": MixGCFPlugin,
+           "GP": GraphPromptEdge, "roland": Roland,
+           "evolvegcn_h": EvolveGCNH, "evolvegcn_o": EvolveGCNO}[name]
+    if dynamic is not None:
+        if name not in ("SGL", "SimGCL", "MixGCF"):
+            raise SystemExit(f"--dynamic requires a plugin model "
+                             f"(SGL/SimGCL/MixGCF), got {name}")
+        cls = make_dynamic(cls, dynamic)
+    if prompt is not None:
+        if name not in ("SGL", "SimGCL", "MixGCF", "LightGCN"):
+            raise SystemExit(f"--prompt requires a plugin model, got {name}")
+        cls = make_prompted(cls, prompt)
+    return cls
+
+
+def _is_dynamic(args):
+    return args.model in DYNAMIC_MODELS or args.dynamic is not None
+
+
+def _dynamic_mode(args):
+    return args.model if args.model in DYNAMIC_MODELS else args.dynamic
 
 
 def _load_rows(args):
@@ -102,8 +146,13 @@ def run_pretrain(args):
                            hour_interval=args.hour_interval)
     name = os.path.basename(args.data_path)
     cfg = _cfg(args, "pretrain", name)
-    model = _model_cls(args.model)(cfg, EdgeGraphArrays.from_dataset(ds),
-                                   phase="pretrain")
+    # dynamic/prompted baselines are finetune-stage wrappers in the
+    # reference; their pretrain tables come from the plain base model
+    # (parse_args.py --pre_model)
+    pre_cls = (_model_cls(args.model)
+               if args.model not in DYNAMIC_MODELS else _model_cls("GraphPro"))
+    model = pre_cls(cfg, EdgeGraphArrays.from_dataset(ds),
+                    phase="pretrain")
     params = model.init_params(jr.key(args.seed))
     trainer = EdgeTrainer(model, ds, logger=log)
     result = trainer.train(params, jr.key(args.seed + 1), rng=rng)
@@ -122,7 +171,7 @@ def run_pretrain(args):
 def run_finetune(args):
     import jax.random as jr
 
-    from ragraph_tpu.models.edge import staged_finetune
+    from ragraph_tpu.models.edge import staged_dynamic, staged_finetune
     from ragraph_tpu.train import RunLogger, restore_checkpoint
     from ragraph_tpu.utils import seed_everything
 
@@ -132,7 +181,14 @@ def run_finetune(args):
     name = os.path.basename(args.data_path)
 
     if args.pre_model_path:
-        tables = restore_checkpoint(args.pre_model_path, use_orbax=False)
+        if args.pre_model_path.endswith(".pt"):
+            # reference-format torch checkpoint
+            # (utils/parse_args.py:18 pretrained_weights/*.pt)
+            from ragraph_tpu.train import tables_from_torch
+            tables = tables_from_torch(args.pre_model_path)
+        else:
+            tables = restore_checkpoint(args.pre_model_path,
+                                        use_orbax=False)
     else:
         default = os.path.join(args.save_dir,
                                f"pretrain_{args.model}_{name}")
@@ -144,16 +200,32 @@ def run_finetune(args):
             run_pretrain(args)
             tables = restore_checkpoint(default, use_orbax=False)
 
-    result = staged_finetune(
-        train_rows, ft_rows, stage_rows, tables,
-        cfg_factory=lambda phase: _cfg(args, phase, name),
-        key=jr.key(args.seed), hour_interval=args.hour_interval,
-        updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
-        model_cls=_model_cls(args.model))
+    if _is_dynamic(args):
+        # ROLAND / EvolveGCN-H/-O (and their plugin crosses) use the
+        # reference's dynamic staged driver (trainer_roland.py): rebuild
+        # per stage, carry embeddings, ROLAND EMA-merges the meta model.
+        result = staged_dynamic(
+            train_rows, ft_rows, stage_rows, tables,
+            cfg_factory=lambda phase: _cfg(args, phase, name),
+            key=jr.key(args.seed), model_cls=_model_cls(args),
+            mode=_dynamic_mode(args), hour_interval=args.hour_interval,
+            num_epochs=args.epochs, logger=log)
+    else:
+        result = staged_finetune(
+            train_rows, ft_rows, stage_rows, tables,
+            cfg_factory=lambda phase: _cfg(args, phase, name),
+            key=jr.key(args.seed), hour_interval=args.hour_interval,
+            updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
+            model_cls=_model_cls(args))
     log(f"recalls: {result.recalls}")
     log(f"ndcgs:   {result.ndcgs}")
     log(f"avg recall {result.avg_recall:.5f} avg ndcg {result.avg_ndcg:.5f}")
-    out = os.path.join(args.save_dir, f"finetune_{args.model}_{name}.json")
+    tag = args.model
+    if args.dynamic:
+        tag += f"-{args.dynamic}"
+    if args.prompt:
+        tag += f"-{args.prompt}"
+    out = os.path.join(args.save_dir, f"finetune_{tag}_{name}.json")
     with open(out, "w") as f:
         json.dump({"recalls": result.recalls, "ndcgs": result.ndcgs,
                    "avg_recall": result.avg_recall,

@@ -22,7 +22,12 @@ def sample_k_shot_nodes(dataset, shots: int, num_classes: int,
     Returns ``(features (S, F), labels (S,), adj (S, S))`` where the
     adjacency is the induced block-diagonal sub-adjacency of the sampled
     nodes (nodes sampled from different graphs are disconnected, matching
-    the reference's per-graph extraction).
+    the reference's per-graph extraction), symmetrically NORMALIZED with
+    self-loops — the reference exports ``normalize_adj(adj + I)``
+    (``RAGraph_node_fewshot/dataset.py:120``), and the consumer feeds it
+    straight into ``inference``. Without the self-loops a sparse support
+    set yields all-zero GCN outputs → zero class prototypes → the
+    cosine-to-prototype head degenerates to chance (the r2 fewshot bug).
     """
     per_class = {c: [] for c in range(num_classes)}
     for gi, g in enumerate(dataset.graphs):
@@ -50,6 +55,10 @@ def sample_k_shot_nodes(dataset, shots: int, num_classes: int,
         for b, ((gj, nj), _) in enumerate(chosen):
             if gi == gj and dataset.graphs[gi].adj[ni, nj] > 0:
                 adj[a, b] = 1.0
+    # normalize_adj(adj + I) (dataset.py:120): D^-1/2 (A+I) D^-1/2
+    adj = adj + np.eye(n, dtype=np.float32)
+    d = 1.0 / np.sqrt(np.maximum(adj.sum(1), 1e-12))
+    adj = adj * d[:, None] * d[None, :]
     return np.stack(feats), np.asarray(labels, np.int64), adj
 
 

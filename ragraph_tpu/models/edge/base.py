@@ -166,7 +166,10 @@ def hash_edge_mask(key: jax.Array, edge_ids: jax.Array, keep_rate: float):
     x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
     x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
-    return x < jnp.uint32(round(keep_rate * 4294967296.0))
+    # clamp: keep_rate in (1 - 2**-33, 1.0) would round to 2**32 and wrap
+    # the uint32 threshold to 0, dropping every edge instead of none
+    thresh = min(round(keep_rate * 4294967296.0), 4294967295)
+    return x < jnp.uint32(thresh)
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))

@@ -86,6 +86,18 @@ def make_dynamic(plugin_cls, mode: str):
             self.meta_layers = [jax.lax.stop_gradient(m)
                                 for m in meta_layers]
 
+        def propagated_plain(self, params, return_layers=True):
+            """Layerwise propagation with the ROLAND fusion bypassed —
+            used to compute the meta-model layers themselves (the
+            reference's meta model is a plain propagation,
+            ``dynamicGNN/plugin_dynamic/SGL_dynamic.py:189-209``)."""
+            self._computing_meta = True
+            try:
+                return self._propagated(params, None, False, None,
+                                        return_layers=return_layers)
+            finally:
+                self._computing_meta = False
+
         def set_last_emb(self, last_emb):
             self.last_emb = jax.lax.stop_gradient(last_emb)
 
@@ -97,8 +109,10 @@ def make_dynamic(plugin_cls, mode: str):
                 return gru_cell(params["gru"], all_emb, self.last_emb)
             return all_emb
 
+        _computing_meta = False
+
         def _layer_fuse(self, params, h, layer_idx):
-            if mode == "roland":
+            if mode == "roland" and not self._computing_meta:
                 assert self.meta_layers is not None, "set_meta_layers first"
                 return gru_cell(params["gru"], h,
                                 self.meta_layers[layer_idx + 1])

@@ -113,11 +113,16 @@ class SGLPlugin(PluginBase):
         cfg = self.cfg
         g = self.graph if graph is None else graph
         k_drop, k_fwd, k_v1, k_v2, k_cl = jax.random.split(key, 5)
-        mask, mask_s = self._drop_masks(k_drop, g, 1.0 - cfg.edge_dropout)
+        keep = 1.0 - cfg.edge_dropout
+        mask, mask_s = self._drop_masks(k_drop, g, keep)
 
+        # time_scale=1/keep keeps the static-time half of the edge weights
+        # expectation-preserving under dropout (docs/PARITY.md), matching
+        # TemporalLightGCN.cal_loss and the reference's per-step renorm.
         user_emb, item_emb = self.forward(params, key=k_fwd, training=True,
                                           edge_mask=mask,
-                                          edge_mask_send=mask_s, graph=g)
+                                          edge_mask_send=mask_s, graph=g,
+                                          time_scale=1.0 / keep)
         rec = bpr_loss(user_emb[users], item_emb[pos_items],
                        item_emb[neg_items])
         u_t, i_t = self._effective_tables(params, None, False)
@@ -130,10 +135,13 @@ class SGLPlugin(PluginBase):
         m1, m2 = mask & v1, mask & v2
         m1_s = mask_s & v1_s if mask_s is not None else None
         m2_s = mask_s & v2_s if mask_s is not None else None
+        view_scale = 1.0 / (keep * 0.9)
         u1, i1 = self.forward(params, key=k_fwd, training=True, edge_mask=m1,
-                              edge_mask_send=m1_s, graph=g)
+                              edge_mask_send=m1_s, graph=g,
+                              time_scale=view_scale)
         u2, i2 = self.forward(params, key=k_fwd, training=True, edge_mask=m2,
-                              edge_mask_send=m2_s, graph=g)
+                              edge_mask_send=m2_s, graph=g,
+                              time_scale=view_scale)
 
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
@@ -163,10 +171,10 @@ class SimGCLPlugin(PluginBase):
 
         uv1, iv1 = self.forward(params, key=k_fwd, training=True,
                                 edge_mask=mask, edge_mask_send=mask_s,
-                                perturb_key=k_p1, graph=g)
+                                perturb_key=k_p1, graph=g, time_scale=2.0)
         uv2, iv2 = self.forward(params, key=k_fwd, training=True,
                                 edge_mask=mask, edge_mask_send=mask_s,
-                                perturb_key=k_p2, graph=g)
+                                perturb_key=k_p2, graph=g, time_scale=2.0)
         uu, um = unique_padded(users, users.shape[0])
         iu, im = unique_padded(pos_items, pos_items.shape[0])
         cl = cfg.lbd * (cal_infonce(uv1[uu], uv2[uu], 0.2, mask=um)
@@ -179,6 +187,10 @@ class SimGCLPlugin(PluginBase):
 
 class MixGCFPlugin(PluginBase):
     """MixGCF: positive-mixing + hop-mixing hard negative synthesis."""
+
+    # EdgeTrainer samples (B, n_negs) candidate negatives instead of (B,)
+    # (MixGCF.py:60 n_negs candidates per positive)
+    multi_negs = True
 
     def _mix_negatives(self, user_layers, item_layers, users, neg_candidates,
                        pos_items, key):
@@ -204,11 +216,13 @@ class MixGCFPlugin(PluginBase):
         cfg = self.cfg
         g = self.graph if graph is None else graph
         k_drop, k_fwd, k_mix = jax.random.split(key, 3)
-        mask, mask_s = self._drop_masks(k_drop, g, 1.0 - cfg.edge_dropout)
+        keep = 1.0 - cfg.edge_dropout
+        mask, mask_s = self._drop_masks(k_drop, g, keep)
 
         layers = self._propagated(params, k_fwd, True, mask,
                                   return_layers=True, graph=g,
-                                  edge_mask_send=mask_s)
+                                  edge_mask_send=mask_s,
+                                  time_scale=1.0 / keep)
         stacked = jnp.stack(layers, axis=1)            # (N, L+1, E)
         user_layers = stacked[: g.num_users]
         item_layers = stacked[g.num_users:]

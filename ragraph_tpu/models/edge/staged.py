@@ -127,9 +127,8 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
         if mode == "roland":
             if hasattr(model, "forward_lgn"):
                 meta_layers = model.forward_lgn(params, return_layers=True)
-            else:  # plugin crosses: plain propagated layers
-                meta_layers = model._propagated(params, None, False, None,
-                                                return_layers=True)
+            else:  # plugin crosses: plain propagated layers, fusion off
+                meta_layers = model.propagated_plain(params)
             model.set_meta_layers(meta_layers)
         elif mode == "evolvegcn_h":
             if last_emb is None:
@@ -219,8 +218,13 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         pre_model = model_cls(cfg_factory("for_tune"),
                               EdgeGraphArrays.from_dataset(pre_dataset),
                               phase="for_tune")
-        pre_params = {"user_embedding": merged["user_embedding"],
-                      "item_embedding": merged["item_embedding"]}
+        # init_params supplies any non-table params the class needs for
+        # generate (e.g. prompt_vec for the graphprompt crosses — fresh
+        # init, matching the reference's strict=False state_dict load);
+        # the tables themselves come from the interpolative merge.
+        pre_params = pre_model.init_params(jax.random.fold_in(k_stage, 5))
+        pre_params["user_embedding"] = merged["user_embedding"]
+        pre_params["item_embedding"] = merged["item_embedding"]
         pre_u, pre_i = pre_model.generate(
             pre_params, key=jax.random.fold_in(k_stage, 1))
 

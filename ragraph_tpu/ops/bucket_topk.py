@@ -370,4 +370,9 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     lane_of = pos % LANE
     g_bucket = jnp.take_along_axis(bucket_ids, slot_of, axis=1)
     g_idx = g_bucket * LANE + lane_of
+    # Exhausted slots (query has < k valid candidates) carry the sentinel
+    # bucket id nb, making g_idx out of range — and in sharded use a
+    # per-shard offset could turn that into a valid-looking id in another
+    # shard's row range. Zero them, matching lax.top_k's in-range contract.
+    g_idx = jnp.where(vals <= NEG_INF, 0, g_idx)
     return vals, g_idx.astype(jnp.int32)

@@ -11,8 +11,8 @@ multi-chip. This module makes the sharding EXPLICIT with ``shard_map``:
   into per-device RECEIVER RANGES — contiguous row blocks of the output,
   so each device's segment-sum is a purely local fused-kernel call.
   Per-shard edge counts differ; shards are padded to the max with
-  zero-weight edges pointing at the shard's first row (inert under the
-  weighted reduce).
+  zero-weight edges pointing at the shard's LAST local row (inert under
+  the weighted reduce).
 - The embedding table enters row-sharded (``P("idx")``) and is
   all-gathered per layer inside the shard_map (the standard ep-style
   table exchange: N·D bf16 over ICI; at 2M x 64 that is 32 MB/layer).
@@ -97,11 +97,9 @@ def shard_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
         snd[:n_e] = senders[lo:hi]
         rcv_local[:n_e] = receivers[lo:hi] - s * rows
         w[:n_e] = weights[lo:hi]
-        # local CSR over the shard's rows; padding edges sit on row 0,
-        # but with weight 0 they contribute nothing wherever they land —
-        # keep them OUT of the indptr by counting real edges only, then
-        # assigning pads to the final boundary... simpler: pads go to the
-        # LAST local row so the sorted order stays valid.
+        # local CSR over the shard's rows; padding edges go to the LAST
+        # local row (weight 0 — inert) so the receiver-sorted order stays
+        # valid.
         rcv_local[n_e:] = rows - 1
         counts = np.bincount(rcv_local, minlength=rows)
         s_rip[s, 1:] = np.cumsum(counts)

@@ -9,3 +9,6 @@ from ragraph_tpu.train.profiling import (  # noqa: F401
     tree_all_finite, assert_all_finite,
 )
 from ragraph_tpu.train.prefetch import prefetch, PrefetchIterator  # noqa: F401
+from ragraph_tpu.train.torch_import import (  # noqa: F401
+    load_torch_state_dict, tables_from_torch,
+)

@@ -131,8 +131,12 @@ class EdgeTrainer:
             t0 = time.time()
             losses, nb = [], 0
             from ragraph_tpu.train.prefetch import prefetch
+            # MixGCF-style models consume (B, n_negs) candidate negatives
+            n_negs = cfg.n_negs if getattr(self.model, "multi_negs",
+                                           False) else 1
             for users, pos, neg in prefetch(self.dataset.train_batches(
-                    cfg.batch_size, rng, drop_remainder=True), depth=2):
+                    cfg.batch_size, rng, n_negs=n_negs,
+                    drop_remainder=True), depth=2):
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
                 params, opt_state, loss, _ = step(
                     params, opt_state, jnp.asarray(users), jnp.asarray(pos),

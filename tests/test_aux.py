@@ -245,6 +245,65 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                np.arange(6.0).reshape(2, 3))
 
 
+def test_torch_pt_importer_roundtrip(tmp_path):
+    """VERDICT r2 #8: fabricate a reference-style state_dict, save with
+    torch.save, and assert the importer recovers the tables bit-exactly
+    (``RAGraph_edge/finetune_rag.py:80-95`` consumption format)."""
+    torch = pytest.importorskip("torch")
+    from ragraph_tpu.train import tables_from_torch
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(32, 8)).astype(np.float32)
+    it = rng.normal(size=(64, 8)).astype(np.float32)
+    sd = {"user_embedding": torch.from_numpy(u),
+          "item_embedding": torch.from_numpy(it),
+          "gating_weight": torch.zeros(8, 8)}  # extra keys ignored
+    p = str(tmp_path / "GraphPro_pretrained.pt")
+    torch.save(sd, p)
+    tables = tables_from_torch(p)
+    np.testing.assert_array_equal(tables["user_embedding"], u)
+    np.testing.assert_array_equal(tables["item_embedding"], it)
+
+    # nn.Embedding-style ".weight" suffix and wrapper-dict formats
+    sd2 = {"state_dict": {"user_embedding.weight": torch.from_numpy(u),
+                          "item_embedding.weight": torch.from_numpy(it)}}
+    p2 = str(tmp_path / "wrapped.pt")
+    torch.save(sd2, p2)
+    tables2 = tables_from_torch(p2)
+    np.testing.assert_array_equal(tables2["item_embedding"], it)
+
+    with pytest.raises(KeyError):
+        p3 = str(tmp_path / "bad.pt")
+        torch.save({"encoder.w": torch.zeros(2, 2)}, p3)
+        tables_from_torch(p3)
+
+
+def test_pt_importer_drives_cli_finetune(tmp_path):
+    """--pre-model-path foo.pt end-to-end through the edge finetune CLI."""
+    torch = pytest.importorskip("torch")
+    from ragraph_tpu.cli import edge as edge_cli
+    from ragraph_tpu.data import load_edge_dataset, synthetic_edge_stream
+
+    train, stages = synthetic_edge_stream(seed=0, num_users=64,
+                                          num_items=128, num_stages=5)
+    ds = load_edge_dataset(train, [(u, i) for (u, i, *_) in stages[0]])
+    rng = np.random.default_rng(1)
+    sd = {"user_embedding": torch.from_numpy(
+              rng.normal(scale=0.1, size=(ds.num_users, 8))
+              .astype(np.float32)),
+          "item_embedding": torch.from_numpy(
+              rng.normal(scale=0.1, size=(ds.num_items, 8))
+              .astype(np.float32))}
+    p = str(tmp_path / "pretrained.pt")
+    torch.save(sd, p)
+    result = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "1", "--batch-size", "128", "--model", "GraphPro",
+         "--save-dir", str(tmp_path / "s"), "--pre-model-path", p])
+    assert len(result.recalls) == 4
+    assert all(np.isfinite(result.recalls))
+
+
 def test_standardize_data():
     from ragraph_tpu.data.planetoid import standardize_data
     rng = np.random.default_rng(0)

