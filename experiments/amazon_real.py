@@ -126,7 +126,22 @@ def run_pretrain():
     return result
 
 
-def run_finetune(model_name="RAGraph"):
+# LoRA sweep configs (VERDICT r2 #2): the reference's own knobs —
+# LoRA_rank (modules/RAGraph.py:20), emb_dropout (parse_args.py:22, the
+# lora_dropout rate), lr. Each entry: (use_lora, cfg overrides).
+SWEEP = {
+    "RAGraph": (True, {}),                       # reference default
+    "RAGraph-noLoRA": (False, {}),
+    "RAGraph-noise": (False, {"use_noise": True}),
+    "GraphPro": (None, {}),
+    "RAGraph-rank4": (True, {"lora_rank": 4}),
+    "RAGraph-rank64": (True, {"lora_rank": 64}),
+    "RAGraph-dropout25": (True, {"emb_dropout": 0.25}),
+    "RAGraph-lorascale": (True, {"lora_init_scale": 0.0}),
+}
+
+
+def run_finetune(model_name="RAGraph", seed=7, tag=""):
     import jax.random as jr
 
     from ragraph_tpu.models.edge import GraphPro, RAGraphEdge, staged_finetune
@@ -134,35 +149,33 @@ def run_finetune(model_name="RAGraph"):
     from ragraph_tpu.utils import seed_everything
 
     log = RunLogger(save_dir=SAVE, exp_name=f"amazon-finetune-{model_name}")
-    seed_everything(2023)
+    seed_everything(2023 + seed)
     pretrain_rows, val_rows, ft_rows, stage_rows = load_rows()
     tables = restore_checkpoint(CKPT, use_orbax=False)
     log(f"loaded pretrain tables (best recall "
-        f"{tables['meta']['best_recall']:.5f})")
+        f"{tables['meta']['best_recall']:.5f}); seed={seed}")
 
     t0 = time.time()
-    model_cls = {"RAGraph": RAGraphEdge, "RAGraph-noLoRA": RAGraphEdge,
-                 "RAGraph-noise": RAGraphEdge,
-                 "GraphPro": GraphPro}[model_name]
+    use_lora, overrides = SWEEP[model_name]
+    model_cls = GraphPro if model_name == "GraphPro" else RAGraphEdge
     # "RAGraph-noise" = the reference's finetune_noise.py protocol
     # (use_noise=True, finetune_noise.py:155: random resource rows appended
     # to every retrieval during training); run LoRA-off so it is directly
     # comparable to the best plain finetune ("RAGraph-noLoRA").
-    use_lora = model_name not in ("RAGraph-noLoRA", "RAGraph-noise")
 
     def cfg_factory(phase):
         import dataclasses as _dc
         c = make_cfg(phase)
-        if not use_lora:
+        if use_lora is False:
             c = _dc.replace(c, use_lora=False)
-        if model_name == "RAGraph-noise":
-            c = _dc.replace(c, use_noise=True)
+        if overrides:
+            c = _dc.replace(c, **overrides)
         return c
 
     result = staged_finetune(
         pretrain_rows + val_rows, ft_rows, stage_rows, tables,
         cfg_factory=cfg_factory,
-        key=jr.key(7), num_epochs=60, logger=log,
+        key=jr.key(seed), num_epochs=60, logger=log,
         model_cls=model_cls)
     log(f"staged fine-tune done in {time.time()-t0:.0f}s")
     log(f"recalls: {[round(r, 5) for r in result.recalls]}")
@@ -170,11 +183,60 @@ def run_finetune(model_name="RAGraph"):
     log(f"avg recall@20 {result.avg_recall:.5f} "
         f"avg ndcg@20 {result.avg_ndcg:.5f}")
 
-    with open(os.path.join(SAVE, f"amazon_real_{model_name}.json"), "w") as f:
+    out = f"amazon_real_{model_name}{tag}.json"
+    with open(os.path.join(SAVE, out), "w") as f:
         json.dump({"recalls": result.recalls, "ndcgs": result.ndcgs,
                    "avg_recall": result.avg_recall,
-                   "avg_ndcg": result.avg_ndcg}, f, indent=2)
+                   "avg_ndcg": result.avg_ndcg, "seed": seed}, f, indent=2)
     return result
+
+
+def run_lora_init_probe():
+    """Quantify the SVD-init distortion (VERDICT r2 #2 root cause): at
+    fine-tune START the effective table is ``base + rank_r(base)`` —
+    the top-r subspace of the pretrained tables is doubled before a
+    single gradient step. Evaluates stage-1 recall@20 with the plain
+    pretrained tables vs the LoRA-at-init effective tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.data import load_edge_dataset, merge_rows
+    from ragraph_tpu.models.edge import EdgeGraphArrays, GraphPro
+    from ragraph_tpu.nn.lora import svd_init
+    from ragraph_tpu.train import (RankingEvaluator, RunLogger,
+                                   restore_checkpoint)
+
+    log = RunLogger(save_dir=SAVE, exp_name="amazon-lora-init-probe")
+    pretrain_rows, val_rows, ft_rows, stage_rows = load_rows()
+    tables = restore_checkpoint(CKPT, use_orbax=False)
+    num_users = tables["meta"]["num_users"]
+    num_items = tables["meta"]["num_items"]
+
+    prompt_rows = merge_rows([pretrain_rows + val_rows, ft_rows])
+    ds = load_edge_dataset(prompt_rows, stage_rows[0],
+                           num_users=num_users, num_items=num_items)
+    ev = RankingEvaluator(ks=(20,))
+    out = {}
+    for name, r in (("base", 0), ("lora16", 16), ("lora4", 4),
+                    ("lora64", 64)):
+        u = jnp.asarray(tables["user_embedding"])
+        it = jnp.asarray(tables["item_embedding"])
+        if r:
+            ua, ub = svd_init(u, r)
+            ia, ib = svd_init(it, r)
+            u = u + ua @ ub
+            it = it + ia @ ib
+        cfg = make_cfg("for_tune", num_nodes=ds.num_nodes)
+        model = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds),
+                         phase="for_tune")
+        ue, ie = jax.jit(model.generate)(
+            {"user_embedding": u, "item_embedding": it})
+        res = ev.evaluate(ue, ie, ds.test_user_dict, ds.user_hist_dict)
+        out[name] = float(res["recall"][0])
+        log(f"{name}: stage-1 recall@20 = {out[name]:.5f}")
+    with open(os.path.join(SAVE, "amazon_lora_init_probe.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
 
 
 def run_vanilla():
@@ -235,15 +297,21 @@ if __name__ == "__main__":
     from ragraph_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    tag = sys.argv[3] if len(sys.argv) > 3 else ""
     if mode in ("pretrain", "all"):
         run_pretrain()
     if mode in ("finetune", "all"):
-        run_finetune("RAGraph")
+        run_finetune("RAGraph", seed=seed, tag=tag)
     if mode == "finetune-graphpro":
-        run_finetune("GraphPro")
+        run_finetune("GraphPro", seed=seed, tag=tag)
     if mode == "finetune-nolora":
-        run_finetune("RAGraph-noLoRA")
+        run_finetune("RAGraph-noLoRA", seed=seed, tag=tag)
     if mode == "finetune-noise":
-        run_finetune("RAGraph-noise")
+        run_finetune("RAGraph-noise", seed=seed, tag=tag)
+    if mode.startswith("sweep-"):                 # e.g. sweep-RAGraph-rank4
+        run_finetune(mode[len("sweep-"):], seed=seed, tag=tag)
+    if mode == "lora-init-probe":
+        run_lora_init_probe()
     if mode == "vanilla":
         run_vanilla()

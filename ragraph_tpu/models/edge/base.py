@@ -57,6 +57,13 @@ class EdgeModelConfig:
     use_noise: bool = False
     lora_rank: int = 16
     use_lora: bool = True
+    # LoRA A-factor init scale. 1.0 = the reference's SVD init, whose
+    # delta at step 0 is rank_r(table) — i.e. the top-r subspace of the
+    # pretrained table is DOUBLED before any training. 0.0 = standard
+    # zero-delta LoRA start (A scaled to 0; gradients still flow, B keeps
+    # the SVD row space). Framework extension; see
+    # results/amazon_lora_init_probe.json for why it exists.
+    lora_init_scale: float = 1.0
     # segment-reduction implementation: "auto" picks the fused custom-VJP
     # propagation (bf16 gathers + sorted reduce both directions, ~3x per
     # layer) whenever it applies (TPU + sorted edges + sender-order

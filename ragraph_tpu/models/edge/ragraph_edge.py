@@ -296,9 +296,11 @@ class TemporalLightGCN:
             params["gating_bias"] = xavier(k_gb, (1, cfg.emb_size))
             if self.use_rag and cfg.use_lora:
                 params["user_lora"] = svd_init(params["user_embedding"],
-                                               cfg.lora_rank)
+                                               cfg.lora_rank,
+                                               cfg.lora_init_scale)
                 params["item_lora"] = svd_init(params["item_embedding"],
-                                               cfg.lora_rank)
+                                               cfg.lora_rank,
+                                               cfg.lora_init_scale)
         return params
 
     # -- forward -----------------------------------------------------------
@@ -390,31 +392,62 @@ class TemporalLightGCN:
                                 else (self.resource_keys,
                                       self.resource_values))
         add_noise = cfg.use_noise and training and self.phase == "finetune"
-        k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
-        k = min(k, res_keys.shape[0])
-        qn = query_emb.shape[0]
+        k = min(cfg.retrieve_num, res_keys.shape[0])
+        qn, e = query_emb.shape
         chunk = min(cfg.rag_chunk or cfg.batch_size, qn)
+
+        # TPU memory shape: the mean over retrieved values is computed
+        # INSIDE the query-chunk loop, so nothing (N, k, ·)-shaped ever
+        # materializes. Two per-chunk strategies:
+        # - small k: top-k indices -> (chunk, k, E) gather -> mean;
+        # - huge k (koubei/taobao vanilla retrieve_num=100000,
+        #   EDGE_DATASET_CONFIGS): selecting by the k-th score THRESHOLD
+        #   and mean-reducing via a (chunk, R) 0/1-matrix @ values MXU
+        #   matmul — the (chunk, k) index tensor alone would be 200 MB
+        #   and its gather 13 GB; the membership matmul is ~0.5 GB and
+        #   rides the MXU. Equal to the index path modulo exact score
+        #   ties at the k-th boundary (arbitrary tiebreak either way).
+        from ragraph_tpu.ops.similarity import l2_normalize
+        keys_n = l2_normalize(res_keys)
+        big_k = k * e > (1 << 20)
+
+        def chunk_mean(qc):
+            """(chunk, E) queries -> (mean of top-k values, count)."""
+            if big_k:
+                scores = jnp.dot(l2_normalize(qc).astype(keys_n.dtype),
+                                 keys_n.T,
+                                 preferred_element_type=jnp.float32)
+                kth = jax.lax.top_k(scores, k)[0][:, -1:]
+                member = (scores >= kth)                     # (chunk, R)
+                count = member.sum(axis=1, keepdims=True)
+                s = jnp.dot(member.astype(res_values.dtype), res_values,
+                            preferred_element_type=jnp.float32)
+                return s / jnp.maximum(count, 1), count[:, 0]
+            _, idx = cosine_topk(qc, keys_n, k, keys_normalized=True)
+            vals = topk_gather(res_values, idx)              # (chunk, k, E)
+            return vals.mean(axis=1), jnp.full((qc.shape[0],), k, jnp.int32)
+
         if qn > chunk:
-            from ragraph_tpu.ops.similarity import l2_normalize
-            keys_n = l2_normalize(res_keys)
             pad = (-qn) % chunk
             q_pad = jnp.pad(query_emb, ((0, pad), (0, 0)))
-            chunks = q_pad.reshape(-1, chunk, query_emb.shape[1])
-            idx = jax.lax.map(
-                lambda qc: cosine_topk(qc, keys_n, k,
-                                       keys_normalized=True)[1],
-                chunks).reshape(-1, k)[:qn]
+            chunks = q_pad.reshape(-1, chunk, e)
+            means, counts = jax.lax.map(chunk_mean, chunks)
+            rag_emb = means.reshape(-1, e)[:qn]
+            counts = counts.reshape(-1)[:qn]
         else:
-            _, idx = cosine_topk(query_emb, res_keys, k)
-        rag = topk_gather(res_values, idx)                   # (N, k, E)
+            rag_emb, counts = chunk_mean(query_emb)
+
         if add_noise:
-            nk = jax.random.fold_in(key, 7)
-            noise_idx = jax.random.randint(
-                nk, (query_emb.shape[0], cfg.noise_retrieve_num),
-                0, res_values.shape[0])
-            rag = jnp.concatenate(
-                [rag, topk_gather(res_values, noise_idx)], axis=1)
-        rag_emb = rag.mean(axis=1)
+            # reference appends noise_retrieve_num random resource rows to
+            # every retrieval set (finetune_noise.py protocol); the mean
+            # over [top-k, noise] decomposes as a count-weighted blend
+            nk_key = jax.random.fold_in(key, 7)
+            nk = cfg.noise_retrieve_num
+            noise_idx = jax.random.randint(nk_key, (qn, nk), 0,
+                                           res_values.shape[0])
+            noise_sum = topk_gather(res_values, noise_idx).sum(axis=1)
+            c = counts[:, None].astype(rag_emb.dtype)
+            rag_emb = (rag_emb * c + noise_sum) / (c + nk)
         return (1.0 - cfg.retrieve_weight) * res_emb \
             + cfg.retrieve_weight * rag_emb
 

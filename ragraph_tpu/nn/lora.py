@@ -23,10 +23,15 @@ class LoRAFactors(NamedTuple):
     b: jax.Array  # (r, E)
 
 
-def svd_init(table: jax.Array, rank: int) -> LoRAFactors:
-    """Truncated-SVD LoRA init: ``A = U_r diag(S_r)``, ``B = V_rᵀ``."""
+def svd_init(table: jax.Array, rank: int,
+             scale: float = 1.0) -> LoRAFactors:
+    """Truncated-SVD LoRA init: ``A = scale · U_r diag(S_r)``,
+    ``B = V_rᵀ``. ``scale=1`` is the reference's init (delta =
+    rank_r(table) at step 0); ``scale=0`` is a zero-delta start that
+    keeps the SVD row space in B."""
     u, s, vt = jnp.linalg.svd(table, full_matrices=False)
-    return LoRAFactors(a=u[:, :rank] * s[:rank][None, :], b=vt[:rank, :])
+    return LoRAFactors(a=scale * u[:, :rank] * s[:rank][None, :],
+                       b=vt[:rank, :])
 
 
 def apply_lora(base: jax.Array, factors: LoRAFactors,

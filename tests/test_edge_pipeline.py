@@ -151,6 +151,36 @@ class TestModels:
         assert np.isfinite(float(loss))
         assert float(aux["reg_loss"]) > 0
 
+    def test_fuse_rag_threshold_path_matches_index_path(self, dataset):
+        """The huge-k membership-matmul retrieval (engaged when
+        k*E > 2^20, i.e. the koubei/taobao retrieve_num=100000 vanilla
+        configs) must equal the top-k index+gather mean (no score ties
+        with random keys)."""
+        g = EdgeGraphArrays.from_dataset(dataset)
+        rng = np.random.default_rng(5)
+        res_n, e = 40, 16
+        res_keys = jnp.asarray(rng.normal(size=(res_n, e)), jnp.float32)
+        res_vals = jnp.asarray(rng.normal(size=(res_n, e)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(11, e)), jnp.float32)
+        res_emb = jnp.zeros((11, e))
+
+        outs = {}
+        for k, label in ((8, "small"), ((1 << 20) // e + 1, "big")):
+            k_eff = min(k, res_n)
+            cfg = _small_cfg(retrieve_num=k, rag_chunk=4,
+                             retrieve_weight=1.0)
+            m = RAGraphEdge(cfg, g, phase="vanilla")
+            outs[label] = np.asarray(
+                m._fuse_rag(q, res_emb, None, False,
+                            resources=(res_keys, res_vals)))
+            # small-k reference: explicit top-k mean
+            qn = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+            kn = res_keys / jnp.linalg.norm(res_keys, axis=1,
+                                            keepdims=True)
+            _, idx = jax.lax.top_k(qn @ kn.T, k_eff)
+            expect = np.asarray(res_vals)[np.asarray(idx)].mean(axis=1)
+            np.testing.assert_allclose(outs[label], expect, atol=1e-5)
+
     def test_resource_graph_augment_and_sampling(self, dataset):
         g = EdgeGraphArrays.from_dataset(dataset)
         cfg = _small_cfg(num_augment_scale=2, num_inverse_sample=20)
