@@ -30,12 +30,29 @@ RAG retrieval still buys +6.6% recall over the no-RAG ablation at the
 new speeds; metrics match the pre-rewrite runs within seed noise (the
 packed scan's bf16 rounding is numerically equivalent end-to-end).
 
-Findings: staged fine-tuning beats the frozen pretrain baseline by ~1.5x;
-RAG retrieval adds +7.6% recall over the no-RAG ablation; the rank-16
-LoRA constraint HURTS here (-18%) because the weak pretrained base (the
-true pretrain.txt is stripped; we pretrain on the much sparser val split)
-needs larger updates than a low-rank delta expresses. Absolute numbers
-are not comparable to the paper for the same reason.
+Round-3 LoRA root cause (VERDICT r2 #2). The LoRA-default deficit was
+isolated to the reference's SVD initialization, not the port:
+
+  1. trajectory parity: 5 Adam steps of LoRA fine-tuning match the
+     reference's own torch class exactly (losses + effective tables;
+     tests/test_reference_parity.py::test_lora_finetune_trajectory_parity)
+  2. init probe: the SVD delta barely moves stage-1 recall at step 0
+     (0.00240 -> 0.00250; results/amazon_lora_init_probe.json)
+  3. sweep (seed 7, avg recall@20): every SVD-init variant loses —
+     rank16 0.01005, rank4 0.00907, rank16+dropout.25 0.00970 —
+     while the zero-delta start (lora_init_scale=0, same rank-16
+     factors, B = SVD row space) recovers 0.01166 ≈ no-LoRA 0.01222.
+
+  Mechanism: A = U_r Σ_r, B = V_rᵀ makes the step-0 delta rank_r(table),
+  doubling the top-r subspace; co-training base+A+B must first undo that
+  distortion, and with this snapshot's weak pretrain base it never
+  fully does within the 60-epoch stages. ``lora_init_scale=0.0`` is now
+  the framework default (docs/PARITY.md); 1.0 restores strict parity.
+
+Other findings: staged fine-tuning beats the frozen pretrain baseline by
+~1.5x; RAG retrieval adds +6.6% recall over the no-RAG ablation (LoRA
+off). Absolute numbers are not paper-comparable because the true
+pretrain.txt is stripped (we pretrain on the much sparser val split).
 
 Usage:
   python experiments/amazon_real.py pretrain   # ~5 min on v5e

@@ -53,12 +53,15 @@ def main():
     norm = (1.0 / np.sqrt(np.maximum(deg[send] * deg[recv], 1.0))
             ).astype(np.float32)
     times = rng.integers(0, 100, 2 * M).astype(np.float32)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=n))]).astype(np.int32)
 
     g = EdgeGraphArrays(senders=jnp.asarray(send),
                         receivers=jnp.asarray(recv),
                         edge_norm=jnp.asarray(norm),
                         edge_times=jnp.asarray(times),
-                        num_users=U, num_items=I)
+                        num_users=U, num_items=I,
+                        recv_indptr=jnp.asarray(indptr))
     cfg = edge_config_for("koubei", "vanilla", emb_size=64, num_layers=3)
     print(f"koubei vanilla config: retrieve_num={cfg.retrieve_num} "
           f"rag_chunk={cfg.rag_chunk} "
@@ -86,9 +89,15 @@ def main():
     del u0, i0
 
     # the money shot: full-graph generate with top-100000 retrieval
-    # fusion for all 221k nodes
+    # fusion for all 221k nodes. Resources enter as jit ARGUMENTS —
+    # closure-captured 113 MB constants overflow the remote-compile
+    # request (the IVF bench incident, CLAUDE.md)
+    res = (model.resource_keys, model.resource_values)
+    model.resource_keys = model.resource_values = None
+    gen_rag = jax.jit(lambda p, rk, rv: model.generate(
+        p, resources=(rk, rv)))
     t0 = time.time()
-    ue, ie = jax.jit(model.generate)(params)
+    ue, ie = gen_rag(params, *res)
     jax.block_until_ready((ue, ie))
     t_fused = time.time() - t0
     print(f"RAG generate (top-{cfg.retrieve_num} x {n} queries): "

@@ -102,16 +102,21 @@ def main():
     def onehot_call(cols, tab):
         return onehot(cols.reshape(nb, p), tab)
 
-    # correctness: padded slots are garbage rows of zeros-onehot -> 0;
-    # real slots must equal the gather
-    ref = np.asarray(xla_gather(table, send_j))
-    got_p = np.asarray(jax.jit(onehot_call)(cols_j, table))
+    # correctness ON DEVICE (never np.asarray a 288 MB array through the
+    # tunnel): gather the real slots back and compare; pull one scalar
     block_of = senders // LANE
     offs = np.zeros(nb + 1, np.int64)
     offs[1:] = np.cumsum(counts)
     slot = (np.arange(E) - offs[block_of]
-            + block_of.astype(np.int64) * p)
-    np.testing.assert_array_equal(got_p[slot], ref)
+            + block_of.astype(np.int64) * p).astype(np.int32)
+
+    @jax.jit
+    def check(cols, tab, idx, slot):
+        ref = tab[idx]
+        got = onehot_call(cols, tab)[slot]
+        return (got != ref).sum()
+    n_bad = int(check(cols_j, table, send_j, jnp.asarray(slot)))
+    assert n_bad == 0, f"{n_bad} mismatched elements"
     print("correctness OK")
 
     def timeit(f, *args):

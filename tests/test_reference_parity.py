@@ -991,7 +991,8 @@ def test_lora_finetune_trajectory_parity(R):
     cfg = EdgeModelConfig(emb_size=D, num_layers=3, retrieve_weight=0.3,
                           rag_chunk=7, retrieve_num=k, use_lora=True,
                           lora_rank=r, edge_dropout=0.0, emb_dropout=0.0,
-                          weight_decay=wd, time_mode="renorm", lr=lr)
+                          weight_decay=wd, time_mode="renorm", lr=lr,
+                          lora_init_scale=1.0)  # the reference's SVD init
     model = RAGraphEdge(cfg, g, phase="finetune")
     params = model.init_params(
         jax.random.key(0),
