@@ -62,7 +62,12 @@ def main():
                         edge_times=jnp.asarray(times),
                         num_users=U, num_items=I,
                         recv_indptr=jnp.asarray(indptr))
-    cfg = edge_config_for("koubei", "vanilla", emb_size=64, num_layers=3)
+    # rag_chunk=256, not the config's 512: at k=100000 over a 442k-row
+    # library a 512-query chunk peaks ~1.4 GB ((chunk, R) f32 scores +
+    # (chunk, k) top-k workspace) inside the lax.map step and the chip
+    # faults; 256 halves it and runs (measured below)
+    cfg = edge_config_for("koubei", "vanilla", emb_size=64, num_layers=3,
+                          rag_chunk=256)
     print(f"koubei vanilla config: retrieve_num={cfg.retrieve_num} "
           f"rag_chunk={cfg.rag_chunk} "
           f"num_augment_scale={cfg.num_augment_scale}")
@@ -88,20 +93,55 @@ def main():
     print(f"resource graph: {res_rows} rows in {t_lib:.1f}s")
     del u0, i0
 
-    # the money shot: full-graph generate with top-100000 retrieval
-    # fusion for all 221k nodes. Resources enter as jit ARGUMENTS —
-    # closure-captured 113 MB constants overflow the remote-compile
-    # request (the IVF bench incident, CLAUDE.md)
-    res = (model.resource_keys, model.resource_values)
+    # the money shot: top-100000 retrieval fusion for all 221k nodes.
+    # Driven as a Python loop over ONE jitted chunk function (the same
+    # math as _fuse_rag's huge-k branch, which is parity-tested against
+    # the index path in tests/test_edge_pipeline.py): a single jit of
+    # propagation + an 866-iteration lax.map made one opaque multi-minute
+    # program whose remote compile/execution the tunnel could not
+    # survive; chunked dispatch streams instead. Resources enter as jit
+    # ARGUMENTS (closure constants overflow the remote compile).
+    from ragraph_tpu.ops.similarity import l2_normalize
+    res_keys, res_values = model.resource_keys, model.resource_values
     model.resource_keys = model.resource_values = None
-    gen_rag = jax.jit(lambda p, rk, rv: model.generate(
-        p, resources=(rk, rv)))
+    k = cfg.retrieve_num
+    chunk = cfg.rag_chunk
+
+    @jax.jit
+    def plain_layers(p):
+        u, i = model.generate(p)
+        return jnp.concatenate([u, i], axis=0)
+
+    res_emb = plain_layers(params)
+    keys_n = l2_normalize(res_keys)
+
+    @jax.jit
+    def chunk_mean(qc, kn, vals):
+        scores = jnp.dot(l2_normalize(qc).astype(kn.dtype), kn.T,
+                         preferred_element_type=jnp.float32)
+        kth = jax.lax.top_k(scores, k)[0][:, -1:]
+        member = (scores >= kth)
+        count = member.sum(axis=1, keepdims=True)
+        s = jnp.dot(member.astype(vals.dtype), vals,
+                    preferred_element_type=jnp.float32)
+        return s / jnp.maximum(count, 1)
+
+    q_pad = (-n) % chunk
+    queries = jnp.pad(res_emb, ((0, q_pad), (0, 0)))
+    n_chunks = queries.shape[0] // chunk
+    jax.block_until_ready(chunk_mean(queries[:chunk], keys_n, res_values))
     t0 = time.time()
-    ue, ie = gen_rag(params, *res)
+    means = [chunk_mean(
+        jax.lax.dynamic_slice_in_dim(queries, c * chunk, chunk),
+        keys_n, res_values) for c in range(n_chunks)]
+    rag_emb = jnp.concatenate(means)[:n]
+    fused = (1.0 - cfg.retrieve_weight) * res_emb \
+        + cfg.retrieve_weight * rag_emb
+    ue, ie = fused[:U], fused[U:]
     jax.block_until_ready((ue, ie))
     t_fused = time.time() - t0
-    print(f"RAG generate (top-{cfg.retrieve_num} x {n} queries): "
-          f"{t_fused:.1f}s")
+    print(f"RAG fusion (top-{cfg.retrieve_num} x {n} queries, "
+          f"{n_chunks} chunks of {chunk}): {t_fused:.1f}s")
 
     # memory stats
     ms = jax.devices()[0].memory_stats() or {}

@@ -39,14 +39,14 @@ def build(rng):
     nb = N // LANE
     block_of = senders // LANE
     counts = np.bincount(block_of, minlength=nb)
-    p = int(-(-counts.max() // 8) * 8)
+    p = int(-(-counts.max() // 128) * 128)   # lane-aligned block capacity
     # slot layout: block b's edges land at [b*p, b*p + counts[b])
     offs = np.zeros(nb + 1, np.int64)
     offs[1:] = np.cumsum(counts)
     slot = np.arange(E) - offs[block_of] + block_of.astype(np.int64) * p
     local_col = np.full(nb * p, LANE, np.int32)      # LANE = padding slot
     local_col[slot] = senders % LANE
-    return senders, local_col.reshape(nb, p), p, counts
+    return senders, local_col, p, counts
 
 
 def onehot_gather_kernel(col_ref, tab_ref, out_ref):
@@ -87,7 +87,7 @@ def main():
         onehot_gather_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, p), lambda b: (b, 0),
+            pl.BlockSpec((p,), lambda b: (b,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANE, D), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -100,7 +100,7 @@ def main():
     )
 
     def onehot_call(cols, tab):
-        return onehot(cols.reshape(nb, p), tab)
+        return onehot(cols, tab)
 
     # correctness ON DEVICE (never np.asarray a 288 MB array through the
     # tunnel): gather the real slots back and compare; pull one scalar

@@ -216,7 +216,7 @@ def iterative_topk(x: jax.Array, k: int):
                                     "interpret"))
 def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
                         valid_mask: jax.Array | None = None,
-                        block_q: int = 512, block_r: int = 4096,
+                        block_q: int = 2048, block_r: int = 4096,
                         p_max: int = 32, interpret: bool = False):
     """Exact fused top-k at PartialReduce-like speed (see module doc).
 
@@ -229,6 +229,14 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     Returns ``(scores (Q, k) f32, indices (Q, k) int32)`` sorted
     descending. Exact scores always; indices may differ from the full sort
     only on exact score ties.
+
+    Tile defaults from the r3 sweep (benchmarks/bench_bucket_tiles.py,
+    v5e, R=262k Q=2048 k=10): (block_q=2048, block_r=4096) = 3.27 ms
+    in-chain vs 3.44 at the old (512, 4096); approx chain measured
+    1.71 ms the same session, so exact ≈ 1.9x approx. The residual gap
+    is phase 1's tile-then-reduce structure: the f32 128-group max costs
+    ~a full extra VPU pass over the score tiles, where XLA's
+    PartialReduce folds its reduction into the matmul epilogue.
     """
     q_len, e = queries.shape
     r_len = keys_n.shape[0]
@@ -247,6 +255,8 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     else:
         valid_mask = valid_mask.astype(jnp.int32)
 
+    # don't let the tuned 2048 default pad small query batches 8x up
+    block_q = min(block_q, -((-q_len) // 256) * 256)
     q_pad = (-q_len) % block_q
     r_pad = (-r_len) % block_r
     q_in = jnp.pad(queries.astype(jnp.bfloat16), ((0, q_pad), (0, 0)))
