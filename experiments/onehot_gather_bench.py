@@ -27,7 +27,11 @@ Usage: python experiments/onehot_gather_bench.py   (real TPU)
 import functools
 import time
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 N, D, E = 1 << 18, 64, 2 << 20       # 262k rows, 2M edges (bench scale)
 LANE = 128
@@ -46,27 +50,25 @@ def build(rng):
     slot = np.arange(E) - offs[block_of] + block_of.astype(np.int64) * p
     local_col = np.full(nb * p, LANE, np.int32)      # LANE = padding slot
     local_col[slot] = senders % LANE
-    return senders, local_col, p, counts
+    return senders, local_col.reshape(nb, p), p, counts
+
+
+BPS = 8  # table blocks per grid step (2-D block specs need >=8 sublanes)
 
 
 def onehot_gather_kernel(col_ref, tab_ref, out_ref):
-    """(P,) local cols + (128, D) table block -> (P, D) rows."""
-    cols = col_ref[:]                                  # (P,) int32
-    p = cols.shape[0]
+    """(BPS, P) local cols + (BPS*128, D) table blocks -> (BPS*P, D)."""
+    p = col_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, LANE), 1)
-    onehot = (lane == cols[:, None]).astype(jnp.bfloat16)
-    out_ref[:] = jnp.dot(onehot, tab_ref[:],
-                         preferred_element_type=jnp.float32
-                         ).astype(jnp.bfloat16)
+    for b in range(BPS):
+        cols = col_ref[b, :]                           # (P,) int32
+        onehot = (lane == cols[:, None]).astype(jnp.bfloat16)
+        rows = jnp.dot(onehot, tab_ref[b * LANE:(b + 1) * LANE, :],
+                       preferred_element_type=jnp.float32)
+        out_ref[b * p:(b + 1) * p, :] = rows.astype(jnp.bfloat16)
 
 
 def main():
-    global jax, jnp, pl, pltpu
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     rng = np.random.default_rng(0)
     senders, local_cols, p, counts = build(rng)
     nb = N // LANE
@@ -85,14 +87,14 @@ def main():
 
     onehot = pl.pallas_call(
         onehot_gather_kernel,
-        grid=(nb,),
+        grid=(nb // BPS,),
         in_specs=[
-            pl.BlockSpec((p,), lambda b: (b,),
+            pl.BlockSpec((BPS, p), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, D), lambda b: (b, 0),
+            pl.BlockSpec((BPS * LANE, D), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p, D), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((BPS * p, D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * p, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
