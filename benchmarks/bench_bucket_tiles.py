@@ -77,4 +77,53 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "subtile":
+        pass  # handled below
+    else:
+        main()
+
+
+def sweep_subtile():
+    """Phase-1 subtile interleave variant (MXU/VPU overlap attempt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
+    from ragraph_tpu.ops.similarity import l2_normalize
+
+    rng = np.random.default_rng(0)
+    keys = l2_normalize(jnp.asarray(
+        rng.normal(size=(R, E)).astype(np.float32)))
+    qs = l2_normalize(jnp.asarray(
+        rng.normal(size=(Q, E)).astype(np.float32)))
+
+    def chain(fn):
+        @jax.jit
+        def run(q, k):
+            def body(_, carry):
+                qq, acc = carry
+                s, _ = fn(qq, k)
+                return qq + 1e-6 * s[:, :1], acc + s[0, 0]
+            return jax.lax.fori_loop(0, ITERS, body,
+                                     (q, jnp.float32(0)))[1]
+        return run
+
+    def timeit(run):
+        float(run(qs, keys))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(qs, keys))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / ITERS
+
+    for sub in (0, 512, 1024, 2048):
+        t = timeit(chain(lambda q, k, sub=sub: bucketed_exact_topk(
+            q, k, K, block_q=2048, block_r=4096, subtile=sub)))
+        print(f"subtile={sub:5d}: {t*1e3:.3f} ms")
+
+
+if __name__ == "__main__" and len(__import__("sys").argv) > 1 \
+        and __import__("sys").argv[1] == "subtile":
+    sweep_subtile()

@@ -58,8 +58,25 @@ NEG_INF = -3.0e38
 LANE = 128  # bucket width
 
 
-def _bucket_max_kernel(k_ref, q_ref, vm_ref, bm_ref, *, block_r: int):
-    """One (BR, BQ) transposed score tile -> (BR/128, BQ) bucket maxima."""
+def _bucket_max_kernel(k_ref, q_ref, vm_ref, bm_ref, *, block_r: int,
+                       subtile: int = 0):
+    """One (BR, BQ) transposed score tile -> (BR/128, BQ) bucket maxima.
+
+    ``subtile > 0`` splits the R dimension into subtile-row chunks and
+    reduces each chunk right after its matmul, so the MXU (next chunk's
+    dot) can overlap the VPU (this chunk's 128-group max) in Mosaic's
+    schedule instead of serializing one huge dot then one huge reduce.
+    """
+    if subtile and subtile < block_r:
+        qt = q_ref[:].T
+        for s in range(block_r // subtile):
+            t = jnp.dot(k_ref[s * subtile:(s + 1) * subtile, :], qt,
+                        preferred_element_type=jnp.float32)
+            vm = vm_ref[s * subtile:(s + 1) * subtile].reshape(-1, 1)
+            t = jnp.where(vm != 0, t, NEG_INF)
+            bm_ref[s * subtile // LANE:(s + 1) * subtile // LANE, :] = \
+                t.reshape(subtile // LANE, LANE, t.shape[1]).max(axis=1)
+        return
     tile = jnp.dot(k_ref[:], q_ref[:].T,
                    preferred_element_type=jnp.float32)     # (BR, BQ)
     tile = jnp.where(vm_ref[:].reshape(-1, 1) != 0, tile, NEG_INF)
@@ -213,11 +230,12 @@ def iterative_topk(x: jax.Array, k: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_q", "block_r", "p_max",
-                                    "interpret"))
+                                    "subtile", "interpret"))
 def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
                         valid_mask: jax.Array | None = None,
                         block_q: int = 2048, block_r: int = 4096,
-                        p_max: int = 32, interpret: bool = False):
+                        p_max: int = 32, subtile: int = 0,
+                        interpret: bool = False):
     """Exact fused top-k at PartialReduce-like speed (see module doc).
 
     Args:
@@ -246,7 +264,7 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
         outs = [bucketed_exact_topk(queries[i:i + 4096], keys_n, k,
                                     valid_mask, block_q=block_q,
                                     block_r=block_r, p_max=p_max,
-                                    interpret=interpret)
+                                    subtile=subtile, interpret=interpret)
                 for i in range(0, q_len, 4096)]
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
@@ -273,7 +291,8 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
 
     # ---- phase 1: bucket maxima (nb, Q) ----
     bm = pl.pallas_call(
-        functools.partial(_bucket_max_kernel, block_r=block_r),
+        functools.partial(_bucket_max_kernel, block_r=block_r,
+                          subtile=subtile),
         grid=(rp // block_r, qp // block_q),
         in_specs=[
             pl.BlockSpec((block_r, e), lambda j, i: (j, 0),
