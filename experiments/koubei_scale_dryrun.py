@@ -129,6 +129,21 @@ def main():
     q_pad = (-n) % chunk
     queries = jnp.pad(res_emb, ((0, q_pad), (0, 0)))
     n_chunks = queries.shape[0] // chunk
+    # Compile-time HBM accounting for the hot program: device
+    # memory_stats() is unsupported through the axon tunnel (returns
+    # empty), but XLA's memory_analysis is a property of the compiled
+    # executable and always available. temp+args+output bounds the
+    # per-dispatch HBM footprint of the retrieval chunk.
+    compiled = chunk_mean.lower(queries[:chunk], keys_n, res_values).compile()
+    try:
+        ma = compiled.memory_analysis()
+        chunk_temp = int(getattr(ma, "temp_size_in_bytes", 0))
+        chunk_args = int(getattr(ma, "argument_size_in_bytes", 0))
+        chunk_out = int(getattr(ma, "output_size_in_bytes", 0))
+    except Exception:
+        chunk_temp = chunk_args = chunk_out = 0
+    print(f"chunk_mean memory analysis: temp {chunk_temp/2**30:.2f} GiB, "
+          f"args {chunk_args/2**30:.2f} GiB, out {chunk_out/2**20:.1f} MiB")
     jax.block_until_ready(chunk_mean(queries[:chunk], keys_n, res_values))
     t0 = time.time()
     means = [chunk_mean(
@@ -162,6 +177,9 @@ def main():
         "generate_rag_s": round(t_fused, 2),
         "peak_hbm_gib": round(peak / 2**30, 3),
         "hbm_limit_gib": round(limit / 2**30, 3),
+        "chunk_temp_gib": round(chunk_temp / 2**30, 3),
+        "chunk_args_gib": round(chunk_args / 2**30, 3),
+        "chunk_out_mib": round(chunk_out / 2**20, 3),
         "eval_recall_smoke": float(res["recall"][0]),
     }
     os.makedirs(SAVE, exist_ok=True)
