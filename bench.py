@@ -302,7 +302,6 @@ def bench_library_build():
     Same workload as benchmarks/bench_library_build.py."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from ragraph_tpu.core.graph import normalize_adj_dense
     from ragraph_tpu.rag.library import LibraryConfig, build_entries_batch
 
@@ -321,16 +320,30 @@ def bench_library_build():
     cfg = LibraryConfig(level="node", num_inverse_sample=10,
                         num_augment_scale=3, use_positions=True,
                         num_anchors=10, dis_q=10, toy_graph_hop=2)
-    build = jax.jit(partial(build_entries_batch, encoder, cfg=cfg))
     adj_n = jax.vmap(normalize_adj_dense)(jnp.asarray(adj))
     args = (jnp.asarray(feats), adj_n, jnp.asarray(labels),
             jnp.ones((B, N), bool), jnp.zeros((B, C)))
-    jax.block_until_ready(build(*args, key=jax.random.key(1)))  # compile
     iters = 30
-    t0 = time.perf_counter()
-    outs = [build(*args, key=jax.random.key(i)) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+
+    # Chain the iterations inside ONE jit: separate async dispatches
+    # through the tunnel cost ~ms each, which swamps an ~3 ms build and
+    # made this number track tunnel latency, not build throughput.
+    @jax.jit
+    def chain(f, a, l, m, g, key):
+        def body(i, acc):
+            out = build_entries_batch(encoder, f, a, l, m, g, cfg=cfg,
+                                      key=jax.random.fold_in(key, i))
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + leaves[0].astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(chain(*args, jax.random.key(1)))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(*args, jax.random.key(1)))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / iters
     return B / dt
 
 
@@ -381,23 +394,37 @@ def bench_node_step(roundtrip):
     opt_state = opt.init(params)
     train_step = model.make_train_step(opt)
 
-    @jax.jit
-    def chain(state, opt_state, graph, key):
-        def body(i, c):
-            s, o, acc = c
-            s, o, l = train_step(s, o, graph, jax.random.fold_in(key, i))
-            return (s, o, acc + l)
-        return jax.lax.fori_loop(
-            0, NODE_ITERS, body, (state, opt_state, jnp.float32(0)))[2]
+    def make_chain(iters):
+        @jax.jit
+        def chain(state, opt_state, graph, key):
+            def body(i, c):
+                s, o, acc = c
+                s, o, l = train_step(s, o, graph,
+                                     jax.random.fold_in(key, i))
+                return (s, o, acc + l)
+            return jax.lax.fori_loop(
+                0, iters, body, (state, opt_state, jnp.float32(0)))[2]
+        return chain
 
+    # The step is fast enough (~0.16 ms) that a NODE_ITERS chain takes
+    # LESS than one tunnel roundtrip (several ms, varies per session) —
+    # subtracting the roundtrip went negative and clamped to 0. Time two
+    # chain lengths instead; the slope cancels the dispatch+roundtrip
+    # constant exactly.
+    del roundtrip
+    short, long_ = make_chain(NODE_ITERS), make_chain(4 * NODE_ITERS)
     key = jax.random.key(3)
-    float(chain(state, opt_state, graph, key))  # compile
-    totals = []
+    float(short(state, opt_state, graph, key))  # compile
+    float(long_(state, opt_state, graph, key))
+    ts, tl = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(state, opt_state, graph, key))
-        totals.append(time.perf_counter() - t0)
-    return max((min(totals) - roundtrip) / NODE_ITERS, 1e-9)
+        float(short(state, opt_state, graph, key))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long_(state, opt_state, graph, key))
+        tl.append(time.perf_counter() - t0)
+    return max((min(tl) - min(ts)) / (3 * NODE_ITERS), 1e-9)
 
 
 def bench_torch_cpu():
