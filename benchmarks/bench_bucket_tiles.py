@@ -6,10 +6,13 @@ cross-sublane 128-group max reduce (f32 tile reads on the VPU). This
 sweep measures end-to-end in-chain time over (block_q, block_r) and also
 times the approx path for the ratio the README quotes.
 
-Usage: python benchmarks/bench_bucket_tiles.py   (real TPU)
+Usage (real TPU):
+    python benchmarks/bench_bucket_tiles.py            # tile sweep
+    python benchmarks/bench_bucket_tiles.py subtile    # subtile variant
 """
 
 import itertools
+import sys
 import time
 
 import numpy as np
@@ -18,11 +21,9 @@ R, E, Q, K = 262_144, 128, 2048, 10
 ITERS = 30
 
 
-def main():
-    import jax
+def _setup():
     import jax.numpy as jnp
 
-    from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
     from ragraph_tpu.ops.similarity import l2_normalize
 
     rng = np.random.default_rng(0)
@@ -30,42 +31,55 @@ def main():
         rng.normal(size=(R, E)).astype(np.float32)))
     qs = l2_normalize(jnp.asarray(
         rng.normal(size=(Q, E)).astype(np.float32)))
+    return qs, keys
 
-    def chain(fn):
-        @jax.jit
-        def run(q, k):
-            def body(_, carry):
-                qq, acc = carry
-                s, _ = fn(qq, k)
-                return qq + 1e-6 * s[:, :1], acc + s[0, 0]
-            return jax.lax.fori_loop(0, ITERS, body,
-                                     (q, jnp.float32(0)))[1]
-        return run
 
-    def timeit(run):
+def _chain(fn):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(q, k):
+        def body(_, carry):
+            qq, acc = carry
+            s, _ = fn(qq, k)
+            return qq + 1e-6 * s[:, :1], acc + s[0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))[1]
+    return run
+
+
+def _timeit(run, qs, keys):
+    float(run(qs, keys))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         float(run(qs, keys))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(qs, keys))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / ITERS
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / ITERS
 
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
+
+    qs, keys = _setup()
     # baseline: approx
-    t_approx = timeit(chain(
+    t_approx = _timeit(_chain(
         lambda q, k: jax.lax.approx_max_k(
             jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
                     preferred_element_type=jnp.float32), K,
-            recall_target=0.99)))
+            recall_target=0.99)), qs, keys)
     print(f"approx_max_k chain: {t_approx*1e3:.3f} ms")
 
     results = {}
     for bq, br in itertools.product((256, 512, 1024, 2048),
                                     (2048, 4096, 8192)):
         try:
-            t = timeit(chain(lambda q, k, bq=bq, br=br:
-                             bucketed_exact_topk(q, k, K, block_q=bq,
-                                                 block_r=br)))
+            t = _timeit(_chain(lambda q, k, bq=bq, br=br:
+                               bucketed_exact_topk(q, k, K, block_q=bq,
+                                                   block_r=br)), qs, keys)
             results[(bq, br)] = t
             print(f"bucket bq={bq:5d} br={br:5d}: {t*1e3:.3f} ms "
                   f"({t/t_approx:.2f}x approx)")
@@ -76,54 +90,24 @@ def main():
           f"= {results[best]/t_approx:.2f}x approx")
 
 
-if __name__ == "__main__":
-    import sys
-    if len(sys.argv) > 1 and sys.argv[1] == "subtile":
-        pass  # handled below
-    else:
-        main()
-
-
 def sweep_subtile():
-    """Phase-1 subtile interleave variant (MXU/VPU overlap attempt)."""
-    import jax
-    import jax.numpy as jnp
+    """Phase-1 subtile interleave variant (MXU/VPU overlap attempt).
 
+    Measured (v5e, same chip session): subtile {0, 512, 1024, 2048} →
+    3.290 / 3.275 / 3.293 / 3.262 ms — within noise; see
+    docs/KERNEL_NOTES.md. The default stays 0.
+    """
     from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
-    from ragraph_tpu.ops.similarity import l2_normalize
 
-    rng = np.random.default_rng(0)
-    keys = l2_normalize(jnp.asarray(
-        rng.normal(size=(R, E)).astype(np.float32)))
-    qs = l2_normalize(jnp.asarray(
-        rng.normal(size=(Q, E)).astype(np.float32)))
-
-    def chain(fn):
-        @jax.jit
-        def run(q, k):
-            def body(_, carry):
-                qq, acc = carry
-                s, _ = fn(qq, k)
-                return qq + 1e-6 * s[:, :1], acc + s[0, 0]
-            return jax.lax.fori_loop(0, ITERS, body,
-                                     (q, jnp.float32(0)))[1]
-        return run
-
-    def timeit(run):
-        float(run(qs, keys))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(qs, keys))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / ITERS
-
+    qs, keys = _setup()
     for sub in (0, 512, 1024, 2048):
-        t = timeit(chain(lambda q, k, sub=sub: bucketed_exact_topk(
-            q, k, K, block_q=2048, block_r=4096, subtile=sub)))
+        t = _timeit(_chain(lambda q, k, sub=sub: bucketed_exact_topk(
+            q, k, K, block_q=2048, block_r=4096, subtile=sub)), qs, keys)
         print(f"subtile={sub:5d}: {t*1e3:.3f} ms")
 
 
-if __name__ == "__main__" and len(__import__("sys").argv) > 1 \
-        and __import__("sys").argv[1] == "subtile":
-    sweep_subtile()
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "subtile":
+        sweep_subtile()
+    else:
+        main()

@@ -147,14 +147,23 @@ def run_pretrain():
 # LoRA_rank (modules/RAGraph.py:20), emb_dropout (parse_args.py:22, the
 # lora_dropout rate), lr. Each entry: (use_lora, cfg overrides).
 SWEEP = {
-    "RAGraph": (True, {}),                       # reference default
+    # Framework default: LoRA on with the zero-delta start
+    # (lora_init_scale=0.0 became the config default after the SVD-init
+    # regression was root-caused — docs/PARITY.md). Config-identical to
+    # the former "RAGraph-lorascale" arm, whose results file predates
+    # the flip.
+    "RAGraph": (True, {}),
+    # The reference's own default: SVD-initialized LoRA delta
+    # (modules/RAGraph.py:122-160). This is the arm the docstring's
+    # 0.0091-0.0101 SVD-init range came from.
+    "RAGraph-svdinit": (True, {"lora_init_scale": 1.0}),
     "RAGraph-noLoRA": (False, {}),
     "RAGraph-noise": (False, {"use_noise": True}),
     "GraphPro": (None, {}),
-    "RAGraph-rank4": (True, {"lora_rank": 4}),
-    "RAGraph-rank64": (True, {"lora_rank": 64}),
-    "RAGraph-dropout25": (True, {"emb_dropout": 0.25}),
-    "RAGraph-lorascale": (True, {"lora_init_scale": 0.0}),
+    "RAGraph-rank4": (True, {"lora_rank": 4, "lora_init_scale": 1.0}),
+    "RAGraph-rank64": (True, {"lora_rank": 64, "lora_init_scale": 1.0}),
+    "RAGraph-dropout25": (True, {"emb_dropout": 0.25,
+                                 "lora_init_scale": 1.0}),
 }
 
 

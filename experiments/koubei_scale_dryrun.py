@@ -18,18 +18,23 @@ score-threshold membership matmul for huge k (see the docstring there).
 Records wall time + device memory stats into
 ``results/koubei_scale_dryrun.json`` and a SCALING.md line.
 
-Usage: python experiments/koubei_scale_dryrun.py  (real TPU, ~minutes)
+Usage: python experiments/koubei_scale_dryrun.py [scale]  (real TPU)
+``scale`` (default 1) multiplies users/items/interactions — ``2`` runs
+the same vanilla config at twice the largest published dataset to
+record single-chip headroom (results suffix ``_2x``).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 SAVE = "results"
-U, I = 119_958, 101_404          # koubei published scale
-M = 1_500_000                    # ~1.5M interactions
+SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+U, I = int(119_958 * SCALE), int(101_404 * SCALE)  # koubei published x scale
+M = int(1_500_000 * SCALE)
 
 
 def main():
@@ -183,7 +188,9 @@ def main():
         "eval_recall_smoke": float(res["recall"][0]),
     }
     os.makedirs(SAVE, exist_ok=True)
-    with open(os.path.join(SAVE, "koubei_scale_dryrun.json"), "w") as f:
+    suffix = "" if SCALE == 1.0 else f"_{SCALE:g}x"
+    with open(os.path.join(SAVE,
+                           f"koubei_scale_dryrun{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

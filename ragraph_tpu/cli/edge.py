@@ -88,6 +88,15 @@ def _model_cls(args_or_name):
     if prompt is not None:
         if name not in ("SGL", "SimGCL", "MixGCF", "LightGCN"):
             raise SystemExit(f"--prompt requires a plugin model, got {name}")
+        if name == "LightGCN":
+            # LightGCNEdge's forward never calls _propagated (it has its
+            # own fused propagation), so graphprompt's hook would be a
+            # silent no-op (zero prompt gradient). The plugin-flavor
+            # LightGCN (plugins/LightGCN.py:20) uses the PluginBase
+            # engine whose forward routes through _propagated — that is
+            # the class the prompt crosses must wrap.
+            from ragraph_tpu.models.edge import LightGCNPlugin
+            cls = LightGCNPlugin
         cls = make_prompted(cls, prompt)
     return cls
 

@@ -93,10 +93,16 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
 
     The returned class adds ``prompt_vec``: gpf-style it offsets the
     embedding tables before propagation (exactly the reference);
-    graphprompt-style it multiplies every propagated message, which we
-    realize by scaling the hop-ℓ layer output by ``prompt`` once per hop
-    (elementwise multiplication commutes with the linear segment-sum, so
-    this matches the reference's per-message application).
+    graphprompt-style it multiplies every propagated message, realized
+    via the :class:`PluginBase` ``_hop_prompt`` hook — the hop-ℓ
+    aggregated output is scaled by ``prompt`` INSIDE the propagation
+    loop, before SimGCL's per-layer perturbation. For linear hops this
+    equals the ``layer_ℓ · prompt^ℓ`` post-scaling (elementwise scale
+    commutes with the segment-sum), but under SimGCL the order matters:
+    the reference (``plugin_gp/SimGCL_gp.py:136-140``) adds
+    ``sign(h·p)·normalize(noise)·eps`` to the *prompted* h and lets that
+    noise propagate forward prompted — post-scaling would rescale the
+    noise by ``p`` per dim and feed ``sign()`` the unprompted argument.
     """
 
     class Prompted(plugin_cls):
@@ -113,26 +119,10 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
                 return u + p, it + p
             return u, it
 
-        def _propagated(self, params, key, training, edge_mask,
-                        return_layers=False, perturb_key=None, graph=None,
-                        **prop_kw):
-            layers = super()._propagated(params, key, training, edge_mask,
-                                         return_layers=True,
-                                         perturb_key=perturb_key,
-                                         graph=graph, **prop_kw)
+        def _hop_prompt(self, params, h):
             if prompt_mode == "graphprompt":
-                # message·prompt each hop ≡ layer_ℓ · prompt^ℓ (the
-                # elementwise scale commutes with the linear segment-sum)
-                p = params["prompt_vec"]
-                scaled = [layers[0]]
-                acc = p
-                for h in layers[1:]:
-                    scaled.append(h * acc)
-                    acc = acc * p
-                layers = scaled
-            if return_layers:
-                return layers
-            return sum(layers)
+                return h * params["prompt_vec"]
+            return h
 
     Prompted.__name__ = f"{plugin_cls.__name__}_{prompt_mode}"
     return Prompted

@@ -64,6 +64,13 @@ class PluginBase(TemporalLightGCN):
     def _layer_fuse(self, params, h, layer_idx):
         return h
 
+    # Hook for the graphprompt crosses (plugin_gp/*_gp.py): runs on each
+    # hop's aggregated output BEFORE SimGCL's perturbation, matching the
+    # reference order (prompt the messages, then noise the prompted h so
+    # the noise sees sign(h·p) and propagates forward prompted).
+    def _hop_prompt(self, params, h):
+        return h
+
     def _propagated(self, params, key, training, edge_mask,
                     return_layers=False, perturb_key=None, graph=None,
                     edge_mask_send=None, time_scale: float = 1.0):
@@ -81,6 +88,7 @@ class PluginBase(TemporalLightGCN):
         for l in range(cfg.num_layers):
             h = self._prop_layer(g, h, weights, w_send, impl)
             h = self._layer_fuse(params, h, l)
+            h = self._hop_prompt(params, h)
             if perturb_key is not None:
                 # SimGCL per-layer perturbation (SimGCL.py:55-57)
                 noise = jax.random.uniform(

@@ -43,6 +43,13 @@ xavier = jax.nn.initializers.glorot_uniform()
 
 # Per-dataset RAG knobs (modules/RAGraph.py:33-85). "default" covers
 # synthetic/test datasets.
+# _fuse_rag switches from the (chunk, k, E) index-gather retrieval to the
+# k-th-score-threshold membership matmul when k * emb_size exceeds this
+# (the koubei/taobao vanilla retrieve_num=100000 regime). Module-level so
+# tests can monkeypatch it small and exercise the threshold path against
+# the index path on toy libraries.
+_BIG_K_ELEMS = 1 << 20
+
 EDGE_DATASET_CONFIGS = {
     "amazon": dict(retrieve_weight=0.3,
                    vanilla=dict(rag_chunk=32768, retrieve_num=50,
@@ -392,7 +399,12 @@ class TemporalLightGCN:
                                 else (self.resource_keys,
                                       self.resource_values))
         add_noise = cfg.use_noise and training and self.phase == "finetune"
-        k = min(cfg.retrieve_num, res_keys.shape[0])
+        # noise mode widens the retrieval: the reference fetches
+        # top-(retrieve_num + noise_retrieve_num) and THEN appends
+        # noise_retrieve_num random rows (modules/RAGraph.py:310), so the
+        # mean is over (k + nk) + nk rows.
+        k = cfg.retrieve_num + (cfg.noise_retrieve_num if add_noise else 0)
+        k = min(k, res_keys.shape[0])
         qn, e = query_emb.shape
         chunk = min(cfg.rag_chunk or cfg.batch_size, qn)
 
@@ -409,7 +421,7 @@ class TemporalLightGCN:
         #   ties at the k-th boundary (arbitrary tiebreak either way).
         from ragraph_tpu.ops.similarity import l2_normalize
         keys_n = l2_normalize(res_keys)
-        big_k = k * e > (1 << 20)
+        big_k = k * e > _BIG_K_ELEMS
 
         def chunk_mean(qc):
             """(chunk, E) queries -> (mean of top-k values, count)."""

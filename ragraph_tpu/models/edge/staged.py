@@ -31,6 +31,24 @@ from ragraph_tpu.ops.similarity import l2_normalize
 from ragraph_tpu.train.trainer import EdgeTrainer
 
 
+def _validate_tables(tables: dict, num_users: int, num_items: int):
+    """Reject pretrain tables whose row counts don't match the data.
+
+    An imported checkpoint for the wrong dataset (e.g. a reference
+    ``pretrained_weights/*.pt`` for taobao fed to koubei data) would
+    otherwise train on silently-corrupt embeddings: the user/item
+    concat offsets shift and out-of-range gathers clamp, with finite
+    losses throughout.
+    """
+    u = tables["user_embedding"].shape[0]
+    i = tables["item_embedding"].shape[0]
+    if (u, i) != (num_users, num_items):
+        raise ValueError(
+            f"pretrain tables have {u} user / {i} item rows but the "
+            f"dataset has {num_users} users / {num_items} items — "
+            f"wrong checkpoint for this dataset?")
+
+
 def interpolative_merge(pretrain_tables: dict, recent_tables: list,
                         pretrain_weight: float = 0.5) -> dict:
     """Merge historical checkpoints (``finetune_rag.py:63-89``).
@@ -91,6 +109,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
     base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
                                 hour_interval=hour_interval)
     num_users, num_items = base_ds.num_users, base_ds.num_items
+    _validate_tables(pretrain_tables, num_users, num_items)
 
     all_rows = [pretrain_rows, finetune_rows, *stage_rows]
     recalls, ndcgs = [], []
@@ -182,6 +201,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
     base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
                                 hour_interval=hour_interval)
     num_users, num_items = base_ds.num_users, base_ds.num_items
+    _validate_tables(pretrain_tables, num_users, num_items)
 
     all_rows = [pretrain_rows, finetune_rows, *stage_rows]
     saved_tables: list[dict] = []

@@ -87,6 +87,7 @@ def test_edge_staged_finetune(workdir):
     ["--model", "GP"],
     ["--model", "SGL", "--prompt", "graphprompt"],
     ["--model", "MixGCF", "--prompt", "gpf"],
+    ["--model", "LightGCN", "--prompt", "graphprompt"],
 ], ids=lambda e: "-".join(e[1::2]))
 def test_edge_baseline_zoo_cli(workdir, extra):
     """VERDICT r2 #4: every baseline the reference launches by name

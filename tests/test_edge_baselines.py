@@ -249,6 +249,56 @@ class TestGraphPrompt:
         loss, _ = m.cal_loss(params, batch, jr.key(1))
         assert np.isfinite(float(loss))
 
+    def test_prompted_lightgcn_prompt_is_live(self, setup):
+        """The CLI maps --model LightGCN --prompt X to LightGCNPlugin:
+        LightGCNEdge's fused forward never calls _propagated, so a
+        graphprompt cross over it would silently train a dead prompt
+        (zero gradient, output independent of prompt_vec)."""
+        from ragraph_tpu.models.edge import LightGCNPlugin
+        ds, g, cfg, batch = setup
+        cls = make_prompted(LightGCNPlugin, "graphprompt")
+        m = cls(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        grads = jax.grad(
+            lambda p: m.cal_loss(p, batch, jr.key(1))[0])(params)
+        assert float(jnp.abs(grads["prompt_vec"]).sum()) > 0
+        # and the output must actually depend on the prompt
+        u1, _ = m.forward(params)
+        params2 = dict(params, prompt_vec=params["prompt_vec"] + 1.0)
+        u2, _ = m.forward(params2)
+        assert float(jnp.abs(u1 - u2).max()) > 1e-6
+
+    def test_simgcl_graphprompt_order_matches_reference(self, setup):
+        """SimGCL x graphprompt: the prompt multiplies each hop BEFORE
+        the perturbation (``plugin_gp/SimGCL_gp.py:136-140`` adds
+        ``sign(h_prompted)·normalize(noise)·eps`` and propagates the
+        noisy prompted h forward) — post-scaling layers by ``p^l`` does
+        not commute with the noise and was wrong for this cross."""
+        from ragraph_tpu.models.edge import SimGCLPlugin
+        ds, g, cfg, batch = setup
+        cls = make_prompted(SimGCLPlugin, "graphprompt")
+        m = cls(cfg, g, phase="vanilla")
+        params = m.init_params(jr.key(0))
+        pk = jr.key(5)
+        got = m._propagated(params, None, False, None, perturb_key=pk)
+
+        all_emb = jnp.concatenate([params["user_embedding"],
+                                   params["item_embedding"]], axis=0)
+        p = params["prompt_vec"]
+        layers = [all_emb]
+        h = all_emb
+        for l in range(cfg.num_layers):
+            msgs = h[g.senders] * g.edge_norm[:, None]
+            h = jax.ops.segment_sum(msgs, g.receivers,
+                                    num_segments=g.num_nodes) * p
+            noise = jr.uniform(jr.fold_in(pk, l), h.shape)
+            noise = noise / jnp.maximum(
+                jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-12)
+            h = h + jnp.sign(h) * noise * cfg.eps
+            layers.append(h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(sum(layers)),
+                                   atol=1e-5)
+
 
 class TestDynamicCrosses:
     @pytest.mark.parametrize("mode", ["roland", "evolvegcn_h", "evolvegcn_o"])

@@ -151,11 +151,19 @@ class TestModels:
         assert np.isfinite(float(loss))
         assert float(aux["reg_loss"]) > 0
 
-    def test_fuse_rag_threshold_path_matches_index_path(self, dataset):
+    def test_fuse_rag_threshold_path_matches_index_path(
+            self, dataset, monkeypatch):
         """The huge-k membership-matmul retrieval (engaged when
-        k*E > 2^20, i.e. the koubei/taobao retrieve_num=100000 vanilla
-        configs) must equal the top-k index+gather mean (no score ties
-        with random keys)."""
+        k*E > _BIG_K_ELEMS, i.e. the koubei/taobao retrieve_num=100000
+        vanilla configs) must equal the top-k index+gather mean (no score
+        ties with random keys).
+
+        k is clamped to the library size BEFORE the big-k dispatch, so on
+        a toy library the threshold path can only be reached by shrinking
+        the module's ``_BIG_K_ELEMS`` switch point — which is exactly why
+        it is a module constant. The 'big' arm asserts it actually took
+        the membership-matmul branch."""
+        from ragraph_tpu.models.edge import ragraph_edge as re_mod
         g = EdgeGraphArrays.from_dataset(dataset)
         rng = np.random.default_rng(5)
         res_n, e = 40, 16
@@ -165,21 +173,24 @@ class TestModels:
         res_emb = jnp.zeros((11, e))
 
         outs = {}
-        for k, label in ((8, "small"), ((1 << 20) // e + 1, "big")):
-            k_eff = min(k, res_n)
+        for k, label, big_elems in ((8, "small", 1 << 20),
+                                    (8, "big", 8 * e - 1)):
+            monkeypatch.setattr(re_mod, "_BIG_K_ELEMS", big_elems)
+            assert (k * e > big_elems) == (label == "big")
             cfg = _small_cfg(retrieve_num=k, rag_chunk=4,
                              retrieve_weight=1.0)
             m = RAGraphEdge(cfg, g, phase="vanilla")
             outs[label] = np.asarray(
                 m._fuse_rag(q, res_emb, None, False,
                             resources=(res_keys, res_vals)))
-            # small-k reference: explicit top-k mean
+            # reference: explicit top-k mean
             qn = q / jnp.linalg.norm(q, axis=1, keepdims=True)
             kn = res_keys / jnp.linalg.norm(res_keys, axis=1,
                                             keepdims=True)
-            _, idx = jax.lax.top_k(qn @ kn.T, k_eff)
+            _, idx = jax.lax.top_k(qn @ kn.T, k)
             expect = np.asarray(res_vals)[np.asarray(idx)].mean(axis=1)
             np.testing.assert_allclose(outs[label], expect, atol=1e-5)
+        np.testing.assert_allclose(outs["big"], outs["small"], atol=1e-5)
 
     def test_resource_graph_augment_and_sampling(self, dataset):
         g = EdgeGraphArrays.from_dataset(dataset)
