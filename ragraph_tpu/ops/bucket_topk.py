@@ -268,6 +268,13 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
                 for i in range(0, q_len, 4096)]
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
+    if subtile and (block_r % subtile or subtile % LANE):
+        # silent-corruption guard: the subtile loop writes
+        # block_r // subtile chunks — a non-dividing subtile would leave
+        # the tail bucket-maxima rows unwritten (garbage VMEM) and the
+        # "exact" result silently wrong.
+        raise ValueError(f"subtile {subtile} must divide block_r "
+                         f"{block_r} and be a multiple of {LANE}")
     if valid_mask is None:
         valid_mask = jnp.ones((r_len,), dtype=jnp.int32)
     else:
@@ -287,6 +294,7 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
         scores = jnp.dot(q_in, k_in.T, preferred_element_type=jnp.float32)
         scores = jnp.where(vm_in[None, :] != 0, scores, NEG_INF)
         s, i = jax.lax.top_k(scores, k)
+        s = jnp.where(s <= NEG_INF, -jnp.inf, s)  # same contract as below
         return s[:q_len], i[:q_len]
 
     # ---- phase 1: bucket maxima (nb, Q) ----
@@ -402,6 +410,11 @@ def bucketed_exact_topk(queries: jax.Array, keys_n: jax.Array, k: int,
     # Exhausted slots (query has < k valid candidates) carry the sentinel
     # bucket id nb, making g_idx out of range — and in sharded use a
     # per-shard offset could turn that into a valid-looking id in another
-    # shard's row range. Zero them, matching lax.top_k's in-range contract.
-    g_idx = jnp.where(vals <= NEG_INF, 0, g_idx)
+    # shard's row range. Zero them, matching lax.top_k's in-range contract,
+    # and lift the finite NEG_INF sentinel to -inf so the score contract
+    # matches the masked-sort exact path (callers test isinf / compare
+    # across methods; real cosine scores are >= -1 so the test is safe).
+    dead = vals <= NEG_INF
+    g_idx = jnp.where(dead, 0, g_idx)
+    vals = jnp.where(dead, -jnp.inf, vals)
     return vals, g_idx.astype(jnp.int32)

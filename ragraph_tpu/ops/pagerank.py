@@ -48,7 +48,11 @@ def pagerank_dense(adj: jax.Array, node_mask: jax.Array | None = None,
     # Row-normalized transition matrix; dangling real rows -> uniform 1/N
     # over real nodes (reference sets the whole row to 1/N at
     # InverseSampling.py:33, with N the padded==real count there).
-    p_mat = adj / jnp.maximum(out_degree, 1.0)[:, None]
+    # Divide by the ACTUAL positive degree — the callers pass binorm-
+    # weighted adjacencies whose row sums can be in (0, 1); clamping to 1
+    # would leak probability mass on those rows (reference divides by the
+    # raw out_degree and only patches zero rows).
+    p_mat = adj / jnp.where(out_degree > 0, out_degree, 1.0)[:, None]
     p_mat = jnp.where(dangling[:, None], maskf[None, :] / n_real, p_mat)
 
     p0 = maskf / n_real
@@ -109,7 +113,11 @@ def pagerank_edges(senders: jax.Array, receivers: jax.Array,
     """
     w = edge_weights.astype(jnp.float32)
     out_degree = jax.ops.segment_sum(w, senders, num_segments=num_nodes)
-    inv_out = jnp.where(out_degree > 0, 1.0 / jnp.maximum(out_degree, 1.0), 0.0)
+    # 1/actual degree, not 1/max(degree, 1): binorm edge weights give
+    # fractional out-degrees and the reference divides by the raw sum
+    inv_out = jnp.where(out_degree > 0,
+                        1.0 / jnp.where(out_degree > 0, out_degree, 1.0),
+                        0.0)
     dangling = out_degree == 0
     n = jnp.asarray(num_nodes, jnp.float32)
     p0 = jnp.full((num_nodes,), 1.0 / n)

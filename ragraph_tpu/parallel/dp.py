@@ -27,14 +27,15 @@ def shard_batch(mesh: Mesh, batch, axis_name=None):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
-def make_dp_train_step(mesh: Mesh, loss_fn: Callable, optimizer,
-                       axis_name: str = "dp"):
+def make_dp_train_step(mesh: Mesh, loss_fn: Callable, optimizer):
     """Build a jitted replicated-params / sharded-batch SGD step.
 
     ``loss_fn(params, batch, key) -> scalar`` must compute a MEAN over the
     batch axis so the value (and its gradients) are equivalent to the
     single-device computation. Params/opt-state stay replicated (out
-    shardings pinned), so XLA emits the all-reduce for grads.
+    shardings pinned), so XLA emits the all-reduce for grads — there is no
+    per-axis knob here; the batch's own sharding (``shard_batch``) decides
+    which mesh axes the reduction crosses.
     """
     import optax  # local import to keep module load light
 

@@ -70,7 +70,8 @@ def shard_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
 
     ``num_nodes`` must divide by ``n_shards``; edges must be sorted by
     receiver. Pads each shard to the max shard size with zero-weight
-    self-edges on the shard's first local row.
+    edges on the shard's LAST local row — padding must sit at the end of
+    the receiver-sorted stream or the fused scan's sort invariant breaks.
     """
     assert num_nodes % n_shards == 0
     rows = num_nodes // n_shards
@@ -92,7 +93,7 @@ def shard_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
         lo, hi = bounds[s], bounds[s + 1]
         n_e = hi - lo
         snd = np.zeros(e_pad, np.int32)          # pad senders -> node 0
-        rcv_local = np.zeros(e_pad, np.int32)    # pad receivers -> row 0
+        rcv_local = np.zeros(e_pad, np.int32)    # pad rows set below
         w = np.zeros(e_pad, np.float32)          # pad weight 0 (inert)
         snd[:n_e] = senders[lo:hi]
         rcv_local[:n_e] = receivers[lo:hi] - s * rows

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ragraph_tpu.ops.similarity import l2_normalize
 
 
 def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
@@ -42,35 +41,18 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
         valid_mask = jnp.ones((keys.shape[0],), dtype=bool)
 
     def local(q, kk, vm):
+        # per-shard top-k is the single-device primitive on the local
+        # rows — one method-dispatch implementation (auto threshold,
+        # exact/approx/bucket/pallas, interpret-on-CPU) lives in
+        # ops.topk.cosine_topk; under "auto" the local shard therefore
+        # also picks the exact bucket kernel when recall_target >= 1.0,
+        # matching the documented single-device policy.
+        from ragraph_tpu.ops.topk import cosine_topk
         rows_local = kk.shape[0]
-        scores = jnp.dot(l2_normalize(q), l2_normalize(kk).T,
-                         preferred_element_type=jnp.float32)
-        scores = jnp.where(vm[None, :], scores, -jnp.inf)
         k_local = min(k, rows_local)
-        method = local_method
-        if method == "auto":
-            from ragraph_tpu.ops.topk import AUTO_APPROX_THRESHOLD
-            method = ("approx" if rows_local >= AUTO_APPROX_THRESHOLD
-                      else "exact")
-        if method == "approx":
-            s_loc, i_loc = jax.lax.approx_max_k(
-                scores, k_local, recall_target=recall_target)
-        elif method == "bucket":
-            # two-phase exact kernel on the local shard (the matmul above
-            # is DCE'd; scores are recomputed inside the kernel)
-            from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
-            s_loc, i_loc = bucketed_exact_topk(
-                l2_normalize(q), l2_normalize(kk), k_local,
-                valid_mask=vm, interpret=jax.default_backend() == "cpu")
-        elif method == "pallas":
-            # exact fused kernel on the local shard (scores recomputed
-            # inside the kernel; the matmul above is DCE'd)
-            from ragraph_tpu.ops.pallas_retrieval import fused_cosine_topk
-            s_loc, i_loc = fused_cosine_topk(
-                l2_normalize(q), l2_normalize(kk), k_local,
-                valid_mask=vm, interpret=jax.default_backend() == "cpu")
-        else:
-            s_loc, i_loc = jax.lax.top_k(scores, k_local)
+        s_loc, i_loc = cosine_topk(q, kk, k_local, valid_mask=vm,
+                                   method=local_method,
+                                   recall_target=recall_target)
         offset = jax.lax.axis_index(axis_name) * rows_local
         i_loc = i_loc + offset
         # gather k·D candidates per query over ICI

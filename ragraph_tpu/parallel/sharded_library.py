@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ragraph_tpu.rag.library import (LibraryConfig, ToyGraphLibrary,
-                                     build_entries_batch)
+                                     build_library_with)
 
 
 def sharded_library_init(mesh: Mesh, capacity: int, emb_size: int,
@@ -57,7 +57,12 @@ def sharded_library_init(mesh: Mesh, capacity: int, emb_size: int,
     repl = NamedSharding(mesh, P())
 
     def z(*shape):
-        return jax.device_put(jnp.zeros(shape), rows)
+        # Allocate under jit with out_shardings so XLA creates each shard
+        # in place — eager jnp.zeros + device_put would materialize the
+        # full (capacity, ...) array on device 0 first, which at 10M rows
+        # x 128 dims is a 5 GB spike the sharded store exists to avoid.
+        return jax.jit(partial(jnp.zeros, shape),
+                       out_shardings=rows)()
 
     return ToyGraphLibrary(
         keys=z(capacity, emb_size),
@@ -128,16 +133,7 @@ def build_sharded_library(mesh: Mesh, lib: ToyGraphLibrary,
     (a batch of graphs vs up to 10M rows), so replicating them costs
     nothing while the store itself never materializes on one device.
     """
-    build = jax.jit(partial(build_entries_batch, encoder_fn, cfg=cfg))
-    for i, batch in enumerate(batches):
-        k_i = jax.random.fold_in(key, i)
-        gy = batch.get("graph_onehot")
-        if gy is None:
-            gy = jnp.zeros((batch["features"].shape[0],
-                            batch["labels"].shape[-1]))
-        keys_, values_, labels_, positions_, valid = build(
-            batch["features"], batch["adj"], batch["labels"],
-            batch["node_mask"], gy, key=k_i)
-        lib = sharded_library_append(mesh, lib, keys_, values_, labels_,
-                                     positions_, valid, axis_name=axis_name)
-    return lib
+    return build_library_with(
+        lib, encoder_fn, batches, cfg, key,
+        append_fn=lambda l, *entries: sharded_library_append(
+            mesh, l, *entries, axis_name=axis_name))

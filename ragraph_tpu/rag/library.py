@@ -253,6 +253,17 @@ def build_library(lib: ToyGraphLibrary, encoder_fn: Callable, batches,
     the store, matching ``build_toy_graph``'s semantics
     (``RAGraph_node/finetune-rag.py:97``).
     """
+    return build_library_with(lib, encoder_fn, batches, cfg, key,
+                              append_fn=library_append)
+
+
+def build_library_with(lib: ToyGraphLibrary, encoder_fn: Callable, batches,
+                       cfg: LibraryConfig, key: jax.Array,
+                       append_fn: Callable) -> ToyGraphLibrary:
+    """Shared build loop: jitted entry construction per batch, then
+    ``append_fn(lib, keys, values, labels, positions, valid)``. The
+    sharded store (``parallel/sharded_library.py``) reuses this with its
+    shard_map append."""
     build = jax.jit(partial(build_entries_batch, encoder_fn, cfg=cfg))
     for i, batch in enumerate(batches):
         k_i = jax.random.fold_in(key, i)
@@ -263,7 +274,7 @@ def build_library(lib: ToyGraphLibrary, encoder_fn: Callable, batches,
         keys_, values_, labels_, positions_, valid = build(
             batch["features"], batch["adj"], batch["labels"],
             batch["node_mask"], gy, key=k_i)
-        lib = library_append(lib, keys_, values_, labels_, positions_, valid)
+        lib = append_fn(lib, keys_, values_, labels_, positions_, valid)
     return lib
 
 

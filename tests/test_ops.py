@@ -129,6 +129,28 @@ class TestPageRank:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(dense),
                                    atol=1e-4)
 
+    def test_weighted_fractional_degrees_match_reference(self):
+        """Production call sites pass binorm-WEIGHTED adjacencies whose
+        row sums land in (0, 1); the reference divides by the raw
+        out-degree (InverseSampling.py:29-31) — a max(deg, 1) clamp
+        leaks probability mass on those rows."""
+        rng = np.random.default_rng(7)
+        a = random_adj(rng, 20)
+        a[5] = 0
+        a[:, 5] = 0
+        # binorm weighting: row sums become fractional
+        deg = np.maximum(a.sum(1), 1.0)
+        w = a / np.sqrt(deg[:, None] * deg[None, :])
+        assert ((w.sum(1) > 0) & (w.sum(1) < 1)).any()
+        ref = self.ref_pagerank(w.astype(np.float64).copy())
+        ours = pagerank_dense(jnp.asarray(w.astype(np.float32)))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+        s, r = np.nonzero(w)
+        edge_ours = pagerank_edges(jnp.asarray(s.astype(np.int32)),
+                                   jnp.asarray(r.astype(np.int32)),
+                                   jnp.asarray(w[s, r]), 20)
+        np.testing.assert_allclose(np.asarray(edge_ours), ref, atol=1e-4)
+
     def test_inverse_prob_normalized_and_masked(self):
         rng = np.random.default_rng(6)
         a = np.zeros((24, 24), np.float32)
