@@ -40,7 +40,7 @@ static bool read_file(const char* path, std::vector<char>& buf) {
 }
 
 static inline const char* skip_spaces(const char* p) {
-  while (*p == ' ') ++p;
+  while (*p == ' ' || *p == '\r') ++p;  // '\r': tolerate CRLF files
   return p;
 }
 
@@ -67,7 +67,12 @@ static void parse_buffer(const char* p, Emit emit) {
     while (*p && *p != '\t' && *p != '\n') {
       p = skip_spaces(p);
       if (*p == '\t' || *p == '\n' || !*p) break;
-      items.push_back(parse_int(p));
+      if ((*p >= '0' && *p <= '9') || *p == '-') {
+        items.push_back(parse_int(p));
+      } else {
+        ++p;  // stray non-numeric byte: skip — parse_int would not
+              // advance and the loop would spin forever
+      }
       while (*p == ' ') ++p;
     }
     // times (optional)
@@ -77,7 +82,11 @@ static void parse_buffer(const char* p, Emit emit) {
       while (*p && *p != '\n') {
         p = skip_spaces(p);
         if (*p == '\n' || !*p) break;
-        times.push_back(parse_int(p));
+        if ((*p >= '0' && *p <= '9') || *p == '-') {
+          times.push_back(parse_int(p));
+        } else {
+          ++p;  // see above
+        }
         while (*p == ' ') ++p;
       }
     }

@@ -114,7 +114,12 @@ class EdgeDataset:
             if out is not None:
                 return out
         out = rng.integers(0, self.num_items, size=(len(users), n))
-        keys = users[:, None] * self.num_items + out
+        # int64 BEFORE the multiply: users arrives int32 and
+        # user_id * num_items wraps past 2**31 at production scale,
+        # making every membership test miss (train positives would leak
+        # through as "negatives" silently)
+        u64 = users.astype(np.int64)
+        keys = u64[:, None] * self.num_items + out
         for _ in range(max_rounds):
             idx = np.searchsorted(self._hist_keys, keys.ravel())
             idx = np.minimum(idx, len(self._hist_keys) - 1)
@@ -123,7 +128,7 @@ class EdgeDataset:
                 break
             redraw = rng.integers(0, self.num_items, size=int(bad.sum()))
             out[bad] = redraw
-            keys = users[:, None] * self.num_items + out
+            keys = u64[:, None] * self.num_items + out
         return out
 
     def train_batches(self, batch_size: int, rng: np.random.Generator,

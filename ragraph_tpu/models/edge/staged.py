@@ -49,6 +49,30 @@ def _validate_tables(tables: dict, num_users: int, num_items: int):
             f"wrong checkpoint for this dataset?")
 
 
+def _validate_stage_ids(all_rows, num_users: int, num_items: int):
+    """Reject user/item ids beyond the base scan's range.
+
+    ``num_users``/``num_items`` are fixed from pretrain + stage 1 (the
+    reference does the same: ``utils/dataloader.py:107`` takes the counts
+    from the pre_dataset). An id that first appears in a LATER stage
+    would silently corrupt training: a new user id collides with item
+    node ``id - num_users`` in the bidirectional graph and table gathers
+    clamp to the last row. Fail loudly instead.
+    """
+    for si, rows in enumerate(all_rows):
+        if not len(rows):
+            continue
+        arr = np.asarray(rows, dtype=np.int64)
+        u, it = int(arr[:, 0].max()), int(arr[:, 1].max())
+        if u >= num_users or it >= num_items:
+            raise ValueError(
+                f"rows[{si}] contains user {u} / item {it} beyond the "
+                f"base id range ({num_users} users / {num_items} "
+                f"items fixed from pretrain + stage 1); ids appearing "
+                f"only in later stages are not representable — extend "
+                f"the pretrain scan or re-index the stream")
+
+
 def interpolative_merge(pretrain_tables: dict, recent_tables: list,
                         pretrain_weight: float = 0.5) -> dict:
     """Merge historical checkpoints (``finetune_rag.py:63-89``).
@@ -112,6 +136,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
     _validate_tables(pretrain_tables, num_users, num_items)
 
     all_rows = [pretrain_rows, finetune_rows, *stage_rows]
+    _validate_stage_ids(all_rows, num_users, num_items)
     recalls, ndcgs = [], []
     tables = dict(pretrain_tables)
     meta_params = None
@@ -204,6 +229,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
     _validate_tables(pretrain_tables, num_users, num_items)
 
     all_rows = [pretrain_rows, finetune_rows, *stage_rows]
+    _validate_stage_ids(all_rows, num_users, num_items)
     saved_tables: list[dict] = []
     recalls, ndcgs = [], []
 

@@ -188,18 +188,29 @@ class RAGraphFewshot:
             + cfg.label_weight * rag_logits
 
     def forward_node(self, state: RAGraphFewshotState, graph, *,
-                     training: bool = False, key=None) -> jax.Array:
-        """Node-level H-dim label logits over a flat DenseGraph batch."""
-        protos = self.prototypes(state.encoder_params, state.support)
+                     training: bool = False, key=None,
+                     protos=None) -> jax.Array:
+        """Node-level H-dim label logits over a flat DenseGraph batch.
+
+        ``protos``: pass precomputed prototypes to avoid re-running the
+        support-set encoder (the loss functions already computed them).
+        """
+        if protos is None:
+            protos = self.prototypes(state.encoder_params, state.support)
         return self._fuse_one(state.encoder_params, state.library, protos,
                               graph.features, graph.adj, graph.node_mask,
                               training=training, key=key)
 
     def forward_graph(self, state: RAGraphFewshotState, batch: dict, *,
-                      training: bool = False, key=None) -> jax.Array:
+                      training: bool = False, key=None,
+                      protos=None) -> jax.Array:
         """Graph-level H-dim logits (mean over node logits,
-        ``RAGraph_graph_fewshot/RAGraph.py:84``) over a stacked batch."""
-        protos = self.prototypes(state.encoder_params, state.support)
+        ``RAGraph_graph_fewshot/RAGraph.py:84``) over a stacked batch.
+
+        ``protos`` as in :meth:`forward_node`.
+        """
+        if protos is None:
+            protos = self.prototypes(state.encoder_params, state.support)
         b = batch["features"].shape[0]
         keys = (jax.random.split(key, b) if key is not None
                 else jnp.zeros((b, 2), jnp.uint32))
@@ -221,7 +232,8 @@ class RAGraphFewshot:
         """CE over cosine-to-prototype scores
         (``finetune-rag.py:99-104``)."""
         protos = self.prototypes(state.encoder_params, state.support)
-        logits = self.forward_node(state, graph, training=True, key=key)
+        logits = self.forward_node(state, graph, training=True, key=key,
+                                   protos=protos)
         class_scores = fewshot_predict_logits(protos, logits)
         logp = jax.nn.log_softmax(class_scores, axis=-1)
         per_node = -jnp.sum(graph.labels * logp, axis=-1)
@@ -233,7 +245,8 @@ class RAGraphFewshot:
         """Graph-level CE over cosine-to-prototype scores
         (``RAGraph_graph_fewshot/finetune-rag.py`` protocol)."""
         protos = self.prototypes(state.encoder_params, state.support)
-        logits = self.forward_graph(state, batch, training=True, key=key)
+        logits = self.forward_graph(state, batch, training=True, key=key,
+                                    protos=protos)
         class_scores = fewshot_predict_logits(protos, logits)
         logp = jax.nn.log_softmax(class_scores, axis=-1)
         per_graph = -jnp.sum(batch["graph_onehot"] * logp, axis=-1)

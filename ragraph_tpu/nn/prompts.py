@@ -93,8 +93,12 @@ class DownPrompt(fnn.Module):
 
     def setup(self):
         self.down = DownstreamPrompt(self.hidden)
-        self.mixer = WeightedPrompt(3)
-        self.feature_mixer = WeightedFeature()
+        # The reference's downprompt also constructs weighted_prompt /
+        # weighted_feature members but never calls them in forward
+        # (``RAGraph_node/downprompt.py:16-18``); flax only materializes
+        # params for invoked submodules, so mirroring the dead members
+        # here would create nothing — the standalone WeightedPrompt /
+        # WeightedFeature modules above cover the classes themselves.
 
     def prompt_features(self, seq):
         return self.down(seq)

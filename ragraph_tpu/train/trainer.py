@@ -52,6 +52,14 @@ class EdgeTrainer:
         (pytrees), not closure captures — the compiled executable carries
         no multi-GB graph constants and serves any same-shape graph (e.g.
         successive temporal stages) without recompiling.
+
+        Deliberately NOT cached across trainer instances: a fresh closure
+        per stage costs a ~1s retrace (the XLA compile itself hits the
+        persistent compilation cache, so same-shape stages don't
+        recompile), but reusing a step traced for an earlier stage would
+        silently bake in that stage's per-instance state for the dynamic
+        models (ROLAND's ``meta_layers``, EvolveGCN-H's ``last_emb`` are
+        instance attributes captured at trace time, not arguments).
         """
         model = self.model
 

@@ -62,6 +62,27 @@ class TestDataset:
             for neg in row:
                 assert int(neg) not in hist
 
+    def test_negative_sampling_fallback_no_int32_wrap(self):
+        """NumPy-fallback membership keys must go int64 BEFORE the
+        user * num_items multiply: at production scale (u*I > 2**31) an
+        int32 product wraps, every rejection test misses, and train
+        positives leak through as 'negatives' with no error."""
+        import dataclasses as dc
+        from ragraph_tpu.data.edgelist import load_edge_dataset
+        ds = load_edge_dataset([(0, 1, 1), (0, 2, 2), (1, 1, 1)], [(0, 1)])
+        user = np.int64(2**28)     # u * I = 2**32: wraps to 0 in int32
+        n_items = 16
+        # the user's history covers every item except 15 — the sampler
+        # MUST reject its way to 15; wrapped keys never match the
+        # history so the buggy version returns in-history items
+        keys = np.sort(user * n_items + np.arange(15, dtype=np.int64))
+        ds = dc.replace(ds, num_items=n_items, _hist_keys=keys)
+        rng = np.random.default_rng(3)
+        users = np.full(64, user, np.int32)
+        negs = ds.sample_negatives(users, rng, n=1, max_rounds=500,
+                                   use_native=False)
+        assert (negs == 15).all(), negs.ravel()[:8]
+
     def test_merge_rows_left_join(self):
         a = [(0, 1, 5), (1, 2, 6)]
         b = [(0, 3, 7), (2, 9, 8)]  # user 2 not in a -> dropped

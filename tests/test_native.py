@@ -22,6 +22,18 @@ def test_parse_edge_file(tmp_path):
     np.testing.assert_array_equal(times, [100, 200, 300, 400, 500, 600])
 
 
+def test_parse_edge_file_crlf_and_stray_bytes(tmp_path):
+    """CRLF line endings (and any stray non-digit byte) must parse, not
+    hang: parse_int does not advance on non-digits, so the item/time
+    loops used to spin forever on '\\r'."""
+    p = tmp_path / "crlf.txt"
+    p.write_bytes(b"0\t1 2\t100 200\r\n5\t7\t400\r\n\r\n")
+    users, items, times = parse_edge_file_native(str(p))
+    np.testing.assert_array_equal(users, [0, 0, 5])
+    np.testing.assert_array_equal(items, [1, 2, 7])
+    np.testing.assert_array_equal(times, [100, 200, 400])
+
+
 def test_parse_matches_python_fallback(tmp_path):
     from ragraph_tpu.data.edgelist import parse_edge_file
     p = tmp_path / "t.txt"
