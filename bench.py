@@ -20,7 +20,9 @@ no TPU numbers to beat (BASELINE.md).
 Prints ONE JSON line:
   {"metric": "retrieval_qps", "value": <TPU queries/s>,
    "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>,
-   "mfu": <retrieval MFU>, "edge_step_ms": ..., "edge_step_mfu": ...}
+   "mfu": <retrieval MFU>, "edge_step_ms": ..., "edge_step_bw_util": ...,
+   "library_build_gps": ..., "node_step_ms": ...,
+   "probe_tflops": ..., "probe_tflops_post": ..., "degraded": bool}
 """
 
 import json
@@ -459,7 +461,8 @@ def main():
           f"(degraded={degraded})", file=sys.stderr)
 
     tpu_qps, recall, dt, flops_s, roundtrip = bench_tpu()
-    edge_dt, edge_flops_s, edge_bytes_s = bench_edge_step(roundtrip)
+    edge_dt, _, edge_bytes_s = bench_edge_step(roundtrip)  # FLOP/s unused:
+    # the edge step is gather-bound, HBM bandwidth is its ceiling
     lib_gps = bench_library_build()
     node_dt = bench_node_step(roundtrip)
     cpu_qps = bench_torch_cpu()

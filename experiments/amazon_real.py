@@ -37,7 +37,9 @@ isolated to the reference's SVD initialization, not the port:
      reference's own torch class exactly (losses + effective tables;
      tests/test_reference_parity.py::test_lora_finetune_trajectory_parity)
   2. init probe: the SVD delta barely moves stage-1 recall at step 0
-     (0.00240 -> 0.00250; results/amazon_lora_init_probe.json)
+     (plain-propagation phase, no random gate: base 0.00252 vs SVD-init
+     rank {16, 4, 64} = {0.00245, 0.00292, 0.00255} — noise-level;
+     results/amazon_lora_init_probe.json)
   3. sweep (seed 7, avg recall@20): every SVD-init variant loses —
      rank16 0.01005, rank4 0.00907, rank16+dropout.25 0.00970 —
      while the zero-delta start (lora_init_scale=0, same rank-16
@@ -252,9 +254,13 @@ def run_lora_init_probe():
             ia, ib = svd_init(it, r)
             u = u + ua @ ub
             it = it + ia @ ib
-        cfg = make_cfg("for_tune", num_nodes=ds.num_nodes)
+        # phase "vanilla": plain propagation of the tables. "for_tune"
+        # would route generate through random_gate (x * sigmoid(x @ W_rand))
+        # and the probe would not measure the plain pretrained tables its
+        # name claims (the random gate also attenuates the SVD delta).
+        cfg = make_cfg("vanilla", num_nodes=ds.num_nodes)
         model = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds),
-                         phase="for_tune")
+                         phase="vanilla")
         ue, ie = jax.jit(model.generate)(
             {"user_embedding": u, "item_embedding": it})
         res = ev.evaluate(ue, ie, ds.test_user_dict, ds.user_hist_dict)

@@ -272,11 +272,19 @@ def run_vanilla(args):
                             phase="vanilla")
         params = {"user_embedding": jnp.asarray(tables["user_embedding"]),
                   "item_embedding": jnp.asarray(tables["item_embedding"])}
-        u0, i0 = model.generate(params)
+        # jit both generates: the eager path dispatches propagation +
+        # RAG fusion op-by-op and keeps every intermediate live at once
+        # (the (N, k, E) retrieval gather alone is gigabytes at real
+        # scale) — same as experiments/amazon_real.py's vanilla driver
+        import jax
+        u0, i0 = jax.jit(model.generate)(params)
         model.make_resource_graph(u0, i0, jr.key(stage))
-        user_emb, item_emb = model.generate(params)
+        del u0, i0
+        user_emb, item_emb = jax.jit(model.generate)(params)
         result = ev.evaluate(user_emb, item_emb, ds.test_user_dict,
                              ds.user_hist_dict)
+        del user_emb, item_emb
+        model.resource_keys = model.resource_values = None
         recalls.append(float(result["recall"][0]))
         ndcgs.append(float(result["ndcg"][0]))
         log(f"stage {stage}: recall={recalls[-1]:.5f} ndcg={ndcgs[-1]:.5f}")

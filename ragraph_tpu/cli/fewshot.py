@@ -147,7 +147,8 @@ def main(argv=None):
                         jr.fold_in(jr.key(task_i + 200), epoch * 999 + i))
                     tot += float(loss)
                 if epoch % 10 == 0:
-                    log.log_loss(epoch, {"loss": tot / len(batches)})
+                    log.log_loss(epoch,
+                                 {"loss": tot / max(len(batches), 1)})
 
         # reference protocol: append val entries before test
         state = task.build_library(

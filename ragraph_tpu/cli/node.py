@@ -121,13 +121,21 @@ def run_pretrain(args):
 
     keeper = BestCheckpointKeeper(args.save_dir,
                                   name=f"model_{args.dataset}")
+    # materialize once: rebuilding flat_batches per epoch would redo the
+    # host block-diagonal assembly + (pad, pad) uploads 30x; and the raw
+    # host adjacency comes WITH the batch — reconstructing it from the
+    # device array (np.asarray(g.adj)) costs seconds per batch through
+    # the ~100 KB/s tunnel.
+    batches = list(flat_batches(ds.graphs, args.batch_size, pad,
+                                with_host_adj=True))
+    masks_host = [np.asarray(g.node_mask) for g, _ in batches]
     for epoch in range(args.pretrain_epochs):
         tot, nb = 0.0, 0
-        for g in flat_batches(ds.graphs, args.batch_size, pad):
-            raw = np.asarray(g.adj) > 0
+        for (g, raw_adj), mask_host in zip(batches, masks_host):
+            raw = raw_adj > 0
             np.fill_diagonal(raw, False)
             tuples = jnp.asarray(prompt_pretrain_sample(
-                raw.astype(np.float32), 100, rng, np.asarray(g.node_mask)))
+                raw.astype(np.float32), 100, rng, mask_host))
             params, opt_state, loss = step(
                 params, opt_state, g.features, g.adj, tuples, g.node_mask,
                 jr.fold_in(jr.key(args.seed + 2), epoch * 1000 + nb))

@@ -85,6 +85,6 @@ class ExperimentConfig:
 
 
 def _jsonify(obj: Any):
-    if isinstance(obj, tuple):
-        return list(obj)
+    # json.dumps handles tuples natively (as lists); anything reaching
+    # this hook is genuinely unserializable
     raise TypeError(f"not JSON-serializable: {obj!r}")

@@ -147,7 +147,8 @@ def dense_batch_from_graphs(
     labels_list: list[np.ndarray],
     pad_nodes: int,
     num_classes: int | None = None,
-) -> DenseGraph:
+    return_host_adj: bool = False,
+):
     """Assemble a block-diagonal padded :class:`DenseGraph` on the host.
 
     The TPU analog of ``process_tu_dataset``
@@ -186,9 +187,17 @@ def dense_batch_from_graphs(
         graph_ids=jnp.asarray(graph_ids),
         num_graphs=jnp.asarray(len(features_list), dtype=jnp.int32),
     )
-    return dataclasses.replace(
+    g = dataclasses.replace(
         g, adj=normalize_adj_dense(g.adj, g.node_mask, add_self_loops=True)
     )
+    if return_host_adj:
+        # the raw block-diagonal adjacency is free here on the host;
+        # callers that need raw structure (e.g. negative-sample mining)
+        # must NOT reconstruct it from the device array — pulling the
+        # (pad, pad) adjacency back through the ~100 KB/s tunnel costs
+        # seconds per batch.
+        return g, adj
+    return g
 
 
 @partial(jax.jit, static_argnames=("num_segments",))

@@ -23,12 +23,18 @@ from ragraph_tpu.core.graph import (DenseGraph, dense_batch_from_graphs,
 
 
 def flat_batches(graphs, batch_size: int, pad_nodes: int | None = None,
-                 num_classes: int | None = None):
+                 num_classes: int | None = None,
+                 with_host_adj: bool = False):
     """Yield block-diagonal padded :class:`DenseGraph` batches.
 
     ``pad_nodes`` defaults to a single bucket covering the worst-case batch
     (max total nodes over batches, rounded up to 128 for MXU alignment) so
     every batch compiles to the same program.
+
+    ``with_host_adj=True`` yields ``(graph, raw_host_adj)`` pairs — the
+    raw (un-normalized, numpy) block-diagonal adjacency for host-side
+    consumers like negative-sample mining, so they never pull the device
+    adjacency back through the slow tunnel.
     """
     chunks = [graphs[i:i + batch_size]
               for i in range(0, len(graphs), batch_size)]
@@ -42,6 +48,7 @@ def flat_batches(graphs, batch_size: int, pad_nodes: int | None = None,
             [g.node_labels for g in chunk],
             pad_nodes=pad_nodes,
             num_classes=num_classes,
+            return_host_adj=with_host_adj,
         )
 
 
