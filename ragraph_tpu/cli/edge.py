@@ -51,7 +51,37 @@ def build_parser():
     p.add_argument("--save-dir", default="saved")
     p.add_argument("--pre-model-path", default=None,
                    help="pretrained checkpoint (embeddings) to load")
+    p.add_argument("--mesh", default=None, metavar="dp=D,idx=I",
+                   help="multi-chip layout: batches shard over dp (XLA "
+                        "inserts the gradient all-reduce); idx>1 "
+                        "row-shards the embedding tables and runs the "
+                        "receiver-range shard_map propagation "
+                        "(parallel/edge_sharded.py). idx>1 requires a "
+                        "base model (RAGraph/GraphPro/LightGCN). "
+                        "dp*idx must equal the device count.")
     return p
+
+
+def _make_mesh(args):
+    """Parse ``--mesh dp=D,idx=I`` into a Mesh (None if unset)."""
+    if not args.mesh:
+        return None
+    from ragraph_tpu.parallel import make_mesh
+    spec = {}
+    for part in args.mesh.split(","):
+        k, _, v = part.partition("=")
+        if k.strip() not in ("dp", "idx") or not v.strip().isdigit():
+            raise SystemExit(f"--mesh expects dp=D,idx=I, got {args.mesh!r}")
+        spec[k.strip()] = int(v)
+    mesh = make_mesh(**spec)
+    if int(mesh.shape["idx"]) > 1 and (
+            args.model not in ("RAGraph", "GraphPro", "LightGCN")
+            or args.dynamic or args.prompt):
+        raise SystemExit(
+            "--mesh with idx>1 (sharded tables + shard_map propagation) "
+            "supports the base models RAGraph/GraphPro/LightGCN; use a "
+            "dp-only mesh for the plugin/dynamic/prompt baselines")
+    return mesh
 
 
 DYNAMIC_MODELS = ("roland", "evolvegcn_h", "evolvegcn_o")
@@ -160,10 +190,13 @@ def run_pretrain(args):
     # (parse_args.py --pre_model)
     pre_cls = (_model_cls(args.model)
                if args.model not in DYNAMIC_MODELS else _model_cls("GraphPro"))
-    model = pre_cls(cfg, EdgeGraphArrays.from_dataset(ds),
-                    phase="pretrain")
+    mesh = _make_mesh(args)
+    arrays = EdgeGraphArrays.from_dataset(ds)
+    if mesh is not None and int(mesh.shape["idx"]) > 1:
+        arrays = arrays.with_sharding(int(mesh.shape["idx"]))
+    model = pre_cls(cfg, arrays, phase="pretrain", mesh=mesh)
     params = model.init_params(jr.key(args.seed))
-    trainer = EdgeTrainer(model, ds, logger=log)
+    trainer = EdgeTrainer(model, ds, logger=log, mesh=mesh)
     result = trainer.train(params, jr.key(args.seed + 1), rng=rng)
     keeper = BestCheckpointKeeper(args.save_dir,
                                   name=f"pretrain_{args.model}_{name}")
@@ -209,6 +242,7 @@ def run_finetune(args):
             run_pretrain(args)
             tables = restore_checkpoint(default, use_orbax=False)
 
+    mesh = _make_mesh(args)
     if _is_dynamic(args):
         # ROLAND / EvolveGCN-H/-O (and their plugin crosses) use the
         # reference's dynamic staged driver (trainer_roland.py): rebuild
@@ -218,14 +252,14 @@ def run_finetune(args):
             cfg_factory=lambda phase: _cfg(args, phase, name),
             key=jr.key(args.seed), model_cls=_model_cls(args),
             mode=_dynamic_mode(args), hour_interval=args.hour_interval,
-            num_epochs=args.epochs, logger=log)
+            num_epochs=args.epochs, logger=log, mesh=mesh)
     else:
         result = staged_finetune(
             train_rows, ft_rows, stage_rows, tables,
             cfg_factory=lambda phase: _cfg(args, phase, name),
             key=jr.key(args.seed), hour_interval=args.hour_interval,
             updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
-            model_cls=_model_cls(args))
+            model_cls=_model_cls(args), mesh=mesh)
     log(f"recalls: {result.recalls}")
     log(f"ndcgs:   {result.ndcgs}")
     log(f"avg recall {result.avg_recall:.5f} avg ndcg {result.avg_ndcg:.5f}")
@@ -263,15 +297,21 @@ def run_vanilla(args):
     all_rows = [train_rows, ft_rows, *stage_rows]
     recalls, ndcgs = [], []
     ev = RankingEvaluator(ks=(20,))
+    mesh = _make_mesh(args)
     for stage in range(1, len(stage_rows) + 1):
         prompt_rows = merge_rows(all_rows[: stage + 1])
         ds = load_edge_dataset(prompt_rows, stage_rows[stage - 1],
                                hour_interval=args.hour_interval)
         cfg = _cfg(args, "vanilla", name, num_nodes=ds.num_nodes)
-        model = RAGraphEdge(cfg, EdgeGraphArrays.from_dataset(ds),
-                            phase="vanilla")
+        arrays = EdgeGraphArrays.from_dataset(ds)
+        if mesh is not None and int(mesh.shape["idx"]) > 1:
+            arrays = arrays.with_sharding(int(mesh.shape["idx"]))
+        model = RAGraphEdge(cfg, arrays, phase="vanilla", mesh=mesh)
         params = {"user_embedding": jnp.asarray(tables["user_embedding"]),
                   "item_embedding": jnp.asarray(tables["item_embedding"])}
+        if mesh is not None and int(mesh.shape["idx"]) > 1:
+            from ragraph_tpu.parallel import shard_rows
+            params = {k: shard_rows(mesh, v) for k, v in params.items()}
         # jit both generates: the eager path dispatches propagation +
         # RAG fusion op-by-op and keeps every intermediate live at once
         # (the (N, k, E) retrieval gather alone is gigabytes at real

@@ -71,8 +71,9 @@ def make_dynamic(plugin_cls, mode: str):
     class Crossed(plugin_cls):
         use_time = False  # BaseModel_1 has no time encoding
 
-        def __init__(self, cfg, graph, phase: str = "finetune"):
-            super().__init__(cfg, graph, phase)
+        def __init__(self, cfg, graph, phase: str = "finetune",
+                     mesh=None):
+            super().__init__(cfg, graph, phase, mesh=mesh)
             self.meta_layers = None
             self.last_emb = None
 
@@ -164,8 +165,8 @@ class DynamicBase(TemporalLightGCN):
 class Roland(DynamicBase):
     """ROLAND: layerwise GRU against the meta model's layer embeddings."""
 
-    def __init__(self, cfg, graph, phase: str = "finetune"):
-        super().__init__(cfg, graph, phase)
+    def __init__(self, cfg, graph, phase: str = "finetune", mesh=None):
+        super().__init__(cfg, graph, phase, mesh=mesh)
         self.meta_layers = None  # list[(N, E)] from the meta model
 
     def init_params(self, key, pretrained_tables=None):
@@ -219,8 +220,8 @@ class Roland(DynamicBase):
 class EvolveGCNH(DynamicBase):
     """EvolveGCN-H: GRU over the table vs the previous step's embeddings."""
 
-    def __init__(self, cfg, graph, phase: str = "finetune"):
-        super().__init__(cfg, graph, phase)
+    def __init__(self, cfg, graph, phase: str = "finetune", mesh=None):
+        super().__init__(cfg, graph, phase, mesh=mesh)
         self.last_emb = None  # (N, E) embeddings from the previous step
 
     def init_params(self, key, pretrained_tables=None):

@@ -31,9 +31,9 @@ class GraphPromptEdge(TemporalLightGCN):
     use_rag = False
 
     def __init__(self, cfg, graph, phase: str = "finetune",
-                 prompt_mode: str = "graphprompt"):
+                 prompt_mode: str = "graphprompt", mesh=None):
         assert prompt_mode in ("graphprompt", "gpf")
-        super().__init__(cfg, graph, phase)
+        super().__init__(cfg, graph, phase, mesh=mesh)
         self.prompt_mode = prompt_mode
 
     def _gate(self, params, all_emb, key, training):

@@ -101,6 +101,10 @@ class EdgeGraphArrays:
     # precomputed exactly in f64 on the host; both edge orders
     time_norm: jax.Array | None = None
     time_norm_send: jax.Array | None = None
+    # receiver-range-sharded auxiliaries for multi-chip shard_map
+    # propagation (parallel/edge_sharded.ShardedEdges, itself a pytree);
+    # attach with :meth:`with_sharding`
+    sharded: Any = None
 
     @classmethod
     def from_dataset(cls, ds: EdgeDataset) -> "EdgeGraphArrays":
@@ -147,12 +151,29 @@ class EdgeGraphArrays:
     def num_edges(self):
         return int(self.senders.shape[0])
 
+    def with_sharding(self, n_shards: int) -> "EdgeGraphArrays":
+        """Attach receiver-range-sharded edge auxiliaries for the
+        multi-chip shard_map propagation (``parallel/edge_sharded.py``).
+
+        The node count is padded up to a multiple of ``n_shards`` inside
+        the sharded structure (``sharded.num_nodes``); the forward pads
+        the table with zero rows and slices them back — padding rows
+        carry no edges, so they are inert. Edges must be receiver-sorted
+        (they are, everywhere in this family).
+        """
+        from ragraph_tpu.parallel.edge_sharded import shard_edges_by_receiver
+        n_pad = -(-self.num_nodes // n_shards) * n_shards
+        sh = shard_edges_by_receiver(
+            np.asarray(self.senders), np.asarray(self.receivers),
+            np.asarray(self.edge_norm), n_pad, n_shards)
+        return dataclasses.replace(self, sharded=sh)
+
 
 jax.tree_util.register_dataclass(
     EdgeGraphArrays,
     data_fields=["senders", "receivers", "edge_norm", "edge_times",
                  "recv_indptr", "send_perm", "send_indptr", "recv_of_send",
-                 "edge_norm_send", "time_norm", "time_norm_send"],
+                 "edge_norm_send", "time_norm", "time_norm_send", "sharded"],
     meta_fields=["num_users", "num_items"])
 
 
@@ -167,10 +188,11 @@ class TemporalLightGCN:
     use_rag: bool = False
 
     def __init__(self, cfg: EdgeModelConfig, graph: EdgeGraphArrays,
-                 phase: str = "pretrain"):
+                 phase: str = "pretrain", mesh=None):
         self.cfg = cfg
         self.graph = graph
         self.phase = phase
+        self.mesh = mesh            # multi-chip: shard_map propagation
         self.resource_keys = None   # (R, E) buffers, not parameters
         self.resource_values = None
 
@@ -284,6 +306,40 @@ class TemporalLightGCN:
         return jax.ops.segment_sum(msgs, g.receivers,
                                    num_segments=g.num_nodes)
 
+    def _use_sharded(self, g) -> bool:
+        """Multi-chip propagation applies when a mesh with a >1 ``idx``
+        axis is set and the graph carries sharded auxiliaries."""
+        return (self.mesh is not None
+                and getattr(g, "sharded", None) is not None
+                and "idx" in self.mesh.axis_names
+                and self.mesh.shape["idx"] > 1)
+
+    def _propagate_layers(self, g, all_emb, weights, w_send, impl):
+        """The full layer stack under the chosen backend.
+
+        Routes to the receiver-range shard_map path
+        (``parallel/edge_sharded.sharded_propagate_per_step``) when
+        :meth:`_use_sharded` — GSPMD cannot partition the fused
+        custom-VJP Pallas kernel, so multi-chip propagation must be
+        explicit. The per-step receiver-order ``weights`` carry the
+        dropout/time folds onto the shards; ``w_send`` is derived per
+        shard from the same vector (not used on that path).
+        """
+        if self._use_sharded(g):
+            from ragraph_tpu.parallel.edge_sharded import (
+                sharded_propagate_per_step)
+            return sharded_propagate_per_step(
+                self.mesh, all_emb, g.sharded, self.cfg.num_layers,
+                weights, bf16=self._bf16())
+        return lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
+                                  g.num_nodes, self.cfg.num_layers,
+                                  recv_indptr=g.recv_indptr, impl=impl,
+                                  weights_send=w_send,
+                                  recv_of_send=g.recv_of_send,
+                                  send_indptr=g.send_indptr,
+                                  bf16=self._bf16(),
+                                  interpret=jax.default_backend() == "cpu")
+
     # -- params ------------------------------------------------------------
 
     def init_params(self, key: jax.Array,
@@ -364,15 +420,7 @@ class TemporalLightGCN:
         all_emb = jnp.concatenate([u, it], axis=0)
         all_emb = self._gate(params, all_emb, key, training)
 
-        layers = lightgcn_propagate(all_emb, g.senders, g.receivers, weights,
-                                    g.num_nodes, cfg.num_layers,
-                                    recv_indptr=g.recv_indptr,
-                                    impl=impl,
-                                    weights_send=w_send,
-                                    recv_of_send=g.recv_of_send,
-                                    send_indptr=g.send_indptr,
-                                    bf16=self._bf16(),
-                                    interpret=jax.default_backend() == "cpu")
+        layers = self._propagate_layers(g, all_emb, weights, w_send, impl)
         res_emb = sum(layers)
 
         res_src = (resources if resources is not None
@@ -476,10 +524,8 @@ class TemporalLightGCN:
         cfg = self.cfg
         all_emb = jnp.concatenate([pretrained_user_emb, pretrained_item_emb],
                                   axis=0)
-        layers = lightgcn_propagate(all_emb, g.senders, g.receivers,
-                                    g.edge_norm, g.num_nodes, cfg.num_layers,
-                                    recv_indptr=g.recv_indptr,
-                                    impl=self._segsum_impl(g))
+        layers = self._propagate_layers(g, all_emb, g.edge_norm, None,
+                                        self._segsum_impl(g))
         keys_base = layers[-1]
         values_base = sum(layers[0::2])
 

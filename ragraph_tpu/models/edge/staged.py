@@ -118,7 +118,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
                    hour_interval: float = 1.0,
                    num_epochs: int | None = None,
                    meta_weight: float = 0.9,
-                   logger: Callable = print) -> "StageResult":
+                   logger: Callable = print, mesh=None) -> "StageResult":
     """Staged training for the dynamic-GNN baselines.
 
     Parity with the reference's dynamic driver pattern
@@ -156,7 +156,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
 
         model = model_cls(cfg_factory("finetune"),
                           EdgeGraphArrays.from_dataset(ft_dataset),
-                          phase="finetune")
+                          phase="finetune", mesh=mesh)
         params = model.init_params(
             jax.random.fold_in(k_stage, 1),
             pretrained_tables=(jnp.asarray(tables["user_embedding"]),
@@ -182,7 +182,7 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
             model.set_last_emb(last_emb)
 
         logger(f"--- dynamic stage {stage} ({mode})")
-        trainer = EdgeTrainer(model, ft_dataset, logger=logger)
+        trainer = EdgeTrainer(model, ft_dataset, logger=logger, mesh=mesh)
         result = trainer.train(params, jax.random.fold_in(k_stage, 2),
                                num_epochs=num_epochs,
                                rng=np.random.default_rng(stage))
@@ -211,7 +211,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
                     key: jax.Array, *, hour_interval: float = 1.0,
                     updt_inter: int = 1, num_epochs: int | None = None,
                     logger: Callable = print,
-                    model_cls=RAGraphEdge) -> StageResult:
+                    model_cls=RAGraphEdge, mesh=None) -> StageResult:
     """Run the staged loop.
 
     Args:
@@ -222,6 +222,10 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
       cfg_factory: ``(phase: str) -> EdgeModelConfig``.
       updt_inter: how many recent stage checkpoints feed the interpolative
         merge (``args.updt_inter``).
+      mesh: optional ``jax.sharding.Mesh`` — batches shard over ``dp``;
+        with an ``idx`` axis > 1 the embedding tables row-shard over it
+        and propagation runs the receiver-range shard_map path
+        (``parallel/edge_sharded.py``).
     """
     base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
                                 hour_interval=hour_interval)
@@ -243,6 +247,13 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
     prompt_bucket = _bucket(len(merge_rows(all_rows)))
     ft_bucket = _bucket(max(len(r) for r in all_rows[1:-1]) or 1)
 
+    n_shards = (mesh.shape["idx"] if mesh is not None
+                and "idx" in mesh.axis_names else 1)
+
+    def _arrays(ds):
+        g = EdgeGraphArrays.from_dataset(ds)
+        return g.with_sharding(n_shards) if n_shards > 1 else g
+
     for stage in range(1, len(stage_rows) + 1):
         k_stage = jax.random.fold_in(key, stage)
         test_idx = stage + 1
@@ -262,8 +273,8 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
             pad_edges_to=prompt_bucket)
 
         pre_model = model_cls(cfg_factory("for_tune"),
-                              EdgeGraphArrays.from_dataset(pre_dataset),
-                              phase="for_tune")
+                              _arrays(pre_dataset),
+                              phase="for_tune", mesh=mesh)
         # init_params supplies any non-table params the class needs for
         # generate (e.g. prompt_vec for the graphprompt crosses — fresh
         # init, matching the reference's strict=False state_dict load);
@@ -281,8 +292,8 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
             user_hist=all_rows[:ft_idx], pad_edges_to=ft_bucket)
 
         model = model_cls(cfg_factory("finetune"),
-                          EdgeGraphArrays.from_dataset(ft_dataset),
-                          phase="finetune")
+                          _arrays(ft_dataset),
+                          phase="finetune", mesh=mesh)
         if model.use_rag:
             model.make_resource_graph(pre_u, pre_i,
                                       jax.random.fold_in(k_stage, 2))
@@ -291,7 +302,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
 
         logger(f"--- stage {stage}: ft rows={len(all_rows[ft_idx])} "
                f"test users={len(ft_dataset.test_user_dict)}")
-        trainer = EdgeTrainer(model, ft_dataset, logger=logger)
+        trainer = EdgeTrainer(model, ft_dataset, logger=logger, mesh=mesh)
         result = trainer.train(params, jax.random.fold_in(k_stage, 4),
                                num_epochs=num_epochs,
                                rng=np.random.default_rng(stage))

@@ -9,4 +9,5 @@ from ragraph_tpu.parallel.sharded_library import (  # noqa: F401
     build_sharded_library, sharded_library_append, sharded_library_init,
 )
 from ragraph_tpu.parallel.edge_sharded import (  # noqa: F401
-    ShardedEdges, shard_edges_by_receiver, sharded_lightgcn_propagate)
+    ShardedEdges, shard_edges_by_receiver, sharded_lightgcn_propagate,
+    sharded_propagate_per_step)

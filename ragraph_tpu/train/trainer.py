@@ -36,14 +36,47 @@ class EdgeTrainer:
     """Train a :class:`TemporalLightGCN`-family model on an EdgeDataset."""
 
     def __init__(self, model, dataset, cfg=None, logger: Callable = print,
-                 evaluator: RankingEvaluator | None = None):
+                 evaluator: RankingEvaluator | None = None, mesh=None):
         self.model = model
         self.dataset = dataset
         self.cfg = cfg or model.cfg
         self.log = logger
+        self.mesh = mesh  # multi-chip placement (see _place_*)
         self.evaluator = evaluator or RankingEvaluator(
             metrics=self.cfg.metrics, ks=self.cfg.metrics_k,
             eval_batch_size=self.cfg.eval_batch_size)
+
+    # -- multi-chip placement ------------------------------------------------
+    # Embedding tables shard row-wise over the mesh's ``idx`` axis (the
+    # memory axis — a 100M-user table never exists on one chip); all other
+    # params replicate; batches shard over ``dp`` so XLA inserts the
+    # gradient all-reduce. The models' propagation goes through the
+    # explicit shard_map path when the graph carries sharded auxiliaries
+    # (TemporalLightGCN._propagate_layers).
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        idx = ("idx" if "idx" in self.mesh.axis_names
+               and self.mesh.shape["idx"] > 1 else None)
+        rows = NamedSharding(self.mesh, P(idx))
+        repl = NamedSharding(self.mesh, P())
+
+        def place(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else ""
+            table = name.endswith("_embedding") and getattr(x, "ndim", 0) == 2
+            return jax.device_put(x, rows if table else repl)
+
+        return jax.tree_util.tree_map_with_path(place, params)
+
+    def _place_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding
+        from ragraph_tpu.parallel.mesh import dp_spec
+        s = NamedSharding(self.mesh, dp_spec(self.mesh))
+        return tuple(jax.device_put(a, s) for a in arrays)
 
     def _make_step(self, optimizer):
         """One jitted (loss, grad, update) step.
@@ -110,6 +143,14 @@ class EdgeTrainer:
         cfg = self.cfg
         rng = rng or np.random.default_rng(0)
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+        if self.mesh is not None:
+            dp_total = int(np.prod([self.mesh.shape[a]
+                                    for a in self.mesh.axis_names
+                                    if a in ("dp", "dcn")])) or 1
+            if cfg.batch_size % max(dp_total, 1):
+                raise ValueError(f"batch_size {cfg.batch_size} must divide "
+                                 f"by the data-parallel extent {dp_total}")
+        params = self._place_params(params)
         optimizer = optax.adam(cfg.lr)
         opt_state = optimizer.init(params)
         step = self._make_step(optimizer)
@@ -127,7 +168,8 @@ class EdgeTrainer:
                        if checkpoint_dir else None)
         if resume_path and os.path.exists(resume_path + ".pkl"):
             snap = restore_checkpoint(resume_path, use_orbax=False)
-            params = jax.tree.map(jnp.asarray, snap["params"])
+            params = self._place_params(
+                jax.tree.map(jnp.asarray, snap["params"]))
             opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
             best = snap["best"]
             best_params = jax.tree.map(jnp.asarray, snap["best_params"])
@@ -146,9 +188,11 @@ class EdgeTrainer:
                     cfg.batch_size, rng, n_negs=n_negs,
                     drop_remainder=True), depth=2):
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
+                users, pos, neg = self._place_batch(
+                    jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg))
                 params, opt_state, loss, _ = step(
-                    params, opt_state, jnp.asarray(users), jnp.asarray(pos),
-                    jnp.asarray(neg), k, graph_arg, resources_arg)
+                    params, opt_state, users, pos, neg, k, graph_arg,
+                    resources_arg)
                 # device scalars collected, synced once per epoch: a
                 # per-step float() would add a host roundtrip per batch
                 losses.append(loss)

@@ -206,3 +206,35 @@ def test_fewshot_finetune_graph_level(workdir):
                         "--save-dir", str(workdir / "m"),
                         "--results-dir", str(workdir / "r")])
     assert np.isfinite(mean)
+
+
+def test_edge_mesh_cli(workdir):
+    """--mesh dp=2,idx=4: pretrain with idx-sharded tables + shard_map
+    propagation, then the staged finetune on the same mesh (8 virtual
+    devices; the gradient all-reduce and table all-gathers are real XLA
+    collectives on the CPU mesh)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "2", "--batch-size", "128",
+                   "--mesh", "dp=2,idx=4",
+                   "--save-dir", str(workdir / "s")])
+    assert os.path.exists(workdir / "s" / "pretrain_RAGraph_SYNTH.pkl")
+    result = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "1", "--batch-size", "128",
+         "--mesh", "dp=2,idx=4",
+         "--save-dir", str(workdir / "s")])
+    assert len(result.recalls) == 4
+    assert all(np.isfinite(result.recalls))
+
+
+def test_edge_mesh_cli_rejects_plugin_idx_sharding(workdir):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    with pytest.raises(SystemExit, match="idx>1"):
+        edge_cli.main(["pretrain", "--data-path", "SYNTH",
+                       "--model", "SGL", "--mesh", "dp=1,idx=8",
+                       "--save-dir", str(workdir / "s")])

@@ -380,3 +380,113 @@ def test_sharded_edge_propagation_matches_single_device(mesh8):
         jnp.asarray(emb))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-3)
+
+
+class TestShardedModelPropagation:
+    """The trainable multi-chip path: TemporalLightGCN models route
+    propagation through the receiver-range shard_map when constructed
+    with a mesh and a graph carrying sharded auxiliaries
+    (``EdgeGraphArrays.with_sharding``). Equivalence vs the single-device
+    model in forward, loss, and gradients — including per-step dropout
+    masks and the static time fold mapped onto the shards."""
+
+    @pytest.fixture(scope="class")
+    def models(self, mesh24):
+        import jax.random as jr
+
+        from ragraph_tpu.data import load_edge_dataset, synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+
+        # 90 nodes: NOT divisible by idx=4 -> exercises the zero-row
+        # node padding inside sharded_propagate_per_step
+        train, stages = synthetic_edge_stream(seed=0, num_users=37,
+                                              num_items=53, num_stages=1)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, *_) in stages[0]])
+        cfg = EdgeModelConfig(emb_size=16, num_layers=3, edge_dropout=0.5)
+        arrays = EdgeGraphArrays.from_dataset(ds)
+        n_idx = int(mesh24.shape["idx"])
+        plain = GraphPro(cfg, arrays, phase="pretrain")
+        sharded = GraphPro(cfg, arrays.with_sharding(n_idx),
+                           phase="pretrain", mesh=mesh24)
+        params = plain.init_params(jr.key(0))
+        return plain, sharded, params
+
+    def test_forward_matches_plain(self, models):
+        plain, sharded, params = models
+        u1, i1 = plain.generate(params)
+        u2, i2 = sharded.generate(params)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(i2), np.asarray(i1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_loss_and_grads_match_plain(self, models):
+        import jax.random as jr
+        plain, sharded, params = models
+        batch = (jnp.arange(8, dtype=jnp.int32),
+                 jnp.arange(8, dtype=jnp.int32),
+                 jnp.arange(8, 16, dtype=jnp.int32))
+
+        def lg(model):
+            def f(p):
+                loss, _ = model.cal_loss(p, batch, jr.key(3))
+                return loss
+            return jax.value_and_grad(f)(params)
+
+        l1, g1 = lg(plain)
+        l2, g2 = lg(sharded)
+        # same key -> identical hash dropout mask on both paths
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+        for k in g1:
+            np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_trainer_with_mesh_places_and_trains(self, mesh24):
+        import jax.random as jr
+
+        from ragraph_tpu.data import load_edge_dataset, synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+        from ragraph_tpu.train import EdgeTrainer
+
+        train, stages = synthetic_edge_stream(seed=1, num_users=24,
+                                              num_items=40, num_stages=1)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, *_) in stages[0]])
+        cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=32,
+                              num_epochs=2, edge_dropout=0.2)
+        n_idx = int(mesh24.shape["idx"])
+        model = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds)
+                         .with_sharding(n_idx),
+                         phase="pretrain", mesh=mesh24)
+        params = model.init_params(jr.key(0))
+        trainer = EdgeTrainer(model, ds, logger=lambda *a, **k: None,
+                              mesh=mesh24)
+        placed = trainer._place_params(params)
+        # tables row-sharded over idx, everything else replicated
+        spec = placed["user_embedding"].sharding.spec
+        assert tuple(spec) and tuple(spec)[0] == "idx"
+        result = trainer.train(params, jr.key(1), num_epochs=2)
+        assert result.epochs_run == 2
+        assert np.isfinite(result.best_perform["recall"][0])
+
+    def test_trainer_mesh_rejects_indivisible_batch(self, mesh24):
+        import jax.random as jr
+
+        from ragraph_tpu.data import load_edge_dataset, synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+        from ragraph_tpu.train import EdgeTrainer
+
+        train, stages = synthetic_edge_stream(seed=1, num_users=24,
+                                              num_items=40, num_stages=1)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, *_) in stages[0]])
+        cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=33,
+                              num_epochs=1)
+        model = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds),
+                         phase="pretrain", mesh=mesh24)
+        trainer = EdgeTrainer(model, ds, logger=lambda *a, **k: None,
+                              mesh=mesh24)
+        with pytest.raises(ValueError, match="batch_size"):
+            trainer.train(model.init_params(jr.key(0)), jr.key(1),
+                          num_epochs=1)
