@@ -48,7 +48,29 @@ def build_parser():
     p.add_argument("--save-dir", default="modelset")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--library-capacity", type=int, default=65536)
+    p.add_argument("--mesh", default=None, metavar="dp=D,idx=I",
+                   help="multi-chip layout for finetune/vanilla: the "
+                        "library is BUILT sharded over idx (the full "
+                        "store never exists on one device, "
+                        "parallel/sharded_library.py), fine-tune batches "
+                        "shard over dp with replicated params (XLA "
+                        "inserts the gradient all-reduce). dp*idx must "
+                        "equal the device count; library capacity must "
+                        "divide by idx.")
     return p
+
+
+def _make_mesh(args):
+    if not getattr(args, "mesh", None):
+        return None
+    from ragraph_tpu.parallel import make_mesh
+    spec = {}
+    for part in args.mesh.split(","):
+        k, _, v = part.partition("=")
+        if k.strip() not in ("dp", "idx") or not v.strip().isdigit():
+            raise SystemExit(f"--mesh expects dp=D,idx=I, got {args.mesh!r}")
+        spec[k.strip()] = int(v)
+    return make_mesh(**spec)
 
 
 def load_dataset(args):
@@ -147,7 +169,7 @@ def run_pretrain(args):
     return keeper.path
 
 
-def _eval_once(args, ds, enc_params, seed_i, log):
+def _eval_once(args, ds, enc_params, seed_i, log, mesh=None):
     import jax.random as jr
     import optax
 
@@ -187,11 +209,43 @@ def _eval_once(args, ds, enc_params, seed_i, log):
 
     state = task.init_state(jr.key(seed_i), encoder_params=enc_params,
                             library_capacity=args.library_capacity)
-    state = task.build_library(
-        state, stacked_batches(train.graphs, args.batch_size,
+
+    shard_lib = mesh is not None and int(mesh.shape["idx"]) > 1
+
+    def _lib_batches(graphs):
+        return stacked_batches(graphs, args.batch_size,
                                num_classes=num_class,
-                               num_graph_classes=num_class),
-        jr.key(seed_i + 1))
+                               num_graph_classes=num_class)
+
+    def _append(state, graphs, key):
+        """Library append — on the sharded store when a >1 idx axis is
+        up (shard_map compacting appends; the full store never exists on
+        one device), else the single-device path."""
+        if not shard_lib:
+            return task.build_library(state, _lib_batches(graphs), key)
+        import dataclasses as _dc
+
+        from ragraph_tpu.parallel import build_sharded_library
+        lib = build_sharded_library(
+            mesh, state.library, task.encoder_fn(state.encoder_params),
+            _lib_batches(graphs), cfg.library, key)
+        return _dc.replace(state, library=lib)
+
+    if mesh is not None:
+        import dataclasses as _dc
+
+        from ragraph_tpu.parallel import replicate, sharded_library_init
+        lib = (sharded_library_init(mesh, args.library_capacity,
+                                    cfg.emb_size, num_class,
+                                    num_anchors=cfg.library.num_anchors)
+               if shard_lib else state.library)
+        state = _dc.replace(
+            state,
+            encoder_params=replicate(mesh, state.encoder_params),
+            decoder_params=replicate(mesh, state.decoder_params),
+            library=lib)
+
+    state = _append(state, train.graphs, jr.key(seed_i + 1))
 
     if finetune:
         opt = optax.adam(args.lr)
@@ -205,6 +259,9 @@ def _eval_once(args, ds, enc_params, seed_i, log):
             batches = list(stacked_batches(val.graphs, args.batch_size,
                                            num_classes=num_class,
                                            num_graph_classes=num_class))
+        if mesh is not None:
+            from ragraph_tpu.parallel import shard_batch
+            batches = [shard_batch(mesh, b) for b in batches]
         for epoch in range(args.epochs):
             tot = 0.0
             for i, b in enumerate(batches):
@@ -216,11 +273,7 @@ def _eval_once(args, ds, enc_params, seed_i, log):
                 log.log_loss(epoch, {"loss": tot / max(len(batches), 1)})
 
     # reference protocol: append val entries before test
-    state = task.build_library(
-        state, stacked_batches(val.graphs, args.batch_size,
-                               num_classes=num_class,
-                               num_graph_classes=num_class),
-        jr.key(seed_i + 3))
+    state = _append(state, val.graphs, jr.key(seed_i + 3))
     if args.level == "node":
         acc = task.accuracy(state, flat_batches(test.graphs,
                                                 args.batch_size, pad,
@@ -252,9 +305,10 @@ def run_eval(args):
     except FileNotFoundError:
         log("no pretrain checkpoint found; using random encoder init")
 
+    mesh = _make_mesh(args)
     accs = []
     for i in range(args.test_times):
-        acc = _eval_once(args, ds, enc_params, i, log)
+        acc = _eval_once(args, ds, enc_params, i, log, mesh=mesh)
         accs.append(100.0 * acc)
         log(f"run {i + 1}/{args.test_times}: accuracy {accs[-1]:.4f}")
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -19,12 +20,22 @@ def shard_batch(mesh: Mesh, batch, axis_name=None):
     """Shard every leaf's leading axis over the data-parallel axes.
 
     Defaults to ``("dcn", "dp")`` on a multi-slice mesh and ``"dp"`` on a
-    flat one (see :func:`ragraph_tpu.parallel.mesh.dp_spec`).
+    flat one (see :func:`ragraph_tpu.parallel.mesh.dp_spec`). Leaves that
+    cannot shard that way — scalars, or a leading axis the dp extent does
+    not divide (e.g. ``DenseGraph.num_graphs``) — are replicated instead.
     """
     from ragraph_tpu.parallel.mesh import dp_spec
-    s = NamedSharding(mesh, dp_spec(mesh) if axis_name is None
-                      else P(axis_name))
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    spec = dp_spec(mesh) if axis_name is None else P(axis_name)
+    axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    extent = int(np.prod([mesh.shape[a] for a in axes]))
+    s = NamedSharding(mesh, spec)
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % extent == 0
+        return jax.device_put(x, s if ok else repl)
+
+    return jax.tree.map(place, batch)
 
 
 def make_dp_train_step(mesh: Mesh, loss_fn: Callable, optimizer):

@@ -238,3 +238,21 @@ def test_edge_mesh_cli_rejects_plugin_idx_sharding(workdir):
         edge_cli.main(["pretrain", "--data-path", "SYNTH",
                        "--model", "SGL", "--mesh", "dp=1,idx=8",
                        "--save-dir", str(workdir / "s")])
+
+
+@pytest.mark.parametrize("level", ["node", "graph"])
+def test_node_mesh_cli(workdir, level):
+    """--mesh dp=2,idx=4 on the static task CLI: library built sharded
+    over idx (shard_map appends), fine-tune batches over dp with
+    replicated params, accuracy finite and above chance."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mean = node_cli.main(["finetune", "--dataset", "SYNTH", "--hidden", "16",
+                          "--epochs", "2", "--batch-size", "8",
+                          "--test-times", "1", "--level", level,
+                          "--library-capacity", "2048",
+                          "--mesh", "dp=2,idx=4",
+                          "--save-dir", str(workdir / "m"),
+                          "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean) and mean > 33.0
