@@ -1,7 +1,8 @@
 from ragraph_tpu.train.metrics import RankingEvaluator  # noqa: F401
 from ragraph_tpu.train.trainer import EdgeTrainer, TrainResult  # noqa: F401
 from ragraph_tpu.train.checkpoint import (  # noqa: F401
-    save_checkpoint, restore_checkpoint, BestCheckpointKeeper,
+    save_checkpoint, restore_checkpoint, restore_sharded,
+    BestCheckpointKeeper,
 )
 from ragraph_tpu.train.logging import RunLogger, log_exceptions  # noqa: F401
 from ragraph_tpu.train.profiling import (  # noqa: F401

@@ -53,6 +53,30 @@ def restore_checkpoint(path: str, template=None, use_orbax: bool = True):
         return pickle.load(f)
 
 
+def restore_sharded(path: str, template, use_orbax: bool = True):
+    """Restore a checkpoint onto the *template's* device placements.
+
+    For multi-chip states (idx-sharded embedding tables / library rows,
+    replicated params — see ``parallel/``): ``template`` is a live pytree
+    whose leaves carry the target :class:`jax.sharding.Sharding`; every
+    restored leaf is ``device_put`` onto the matching leaf's sharding, so
+    a resumed run keeps the exact mesh layout it trained with. Leaves
+    without a sharding (host numpy) pass through unchanged.
+
+    The reference's analog is plain ``load_state_dict`` on one GPU
+    (``RAGraph_edge/finetune_rag.py:63-94``); this is the mesh-aware
+    TPU-native resume.
+    """
+    restored = restore_checkpoint(path, template=template,
+                                  use_orbax=use_orbax)
+
+    def place(t, x):
+        sh = getattr(t, "sharding", None)
+        return jax.device_put(x, sh) if sh is not None else x
+
+    return jax.tree.map(place, template, restored)
+
+
 class BestCheckpointKeeper:
     """Save-on-best helper (higher metric is better)."""
 

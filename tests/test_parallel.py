@@ -490,3 +490,39 @@ class TestShardedModelPropagation:
         with pytest.raises(ValueError, match="batch_size"):
             trainer.train(model.init_params(jr.key(0)), jr.key(1),
                           num_epochs=1)
+
+
+class TestShardedCheckpoint:
+    def test_restore_sharded_keeps_mesh_layout(self, mesh24, tmp_path):
+        """Checkpoint a multi-chip state (idx-sharded table + replicated
+        params), restore via restore_sharded: values round-trip and every
+        leaf lands back on its template sharding."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ragraph_tpu.train import restore_sharded, save_checkpoint
+
+        rows = NamedSharding(mesh24, P("idx"))
+        repl = NamedSharding(mesh24, P())
+        state = {
+            "user_embedding": jax.device_put(
+                jnp.arange(32.0).reshape(8, 4), rows),
+            "gate": jax.device_put(jnp.full((4,), 0.5), repl),
+            "step": 7,  # non-array leaf passes through
+        }
+        path = save_checkpoint(str(tmp_path / "ck"), state, use_orbax=False)
+        fresh = {
+            "user_embedding": jax.device_put(jnp.zeros((8, 4)), rows),
+            "gate": jax.device_put(jnp.zeros((4,)), repl),
+            "step": 0,
+        }
+        out = restore_sharded(path, fresh, use_orbax=False)
+        assert out["user_embedding"].sharding == rows
+        assert out["gate"].sharding == repl
+        np.testing.assert_array_equal(
+            np.asarray(out["user_embedding"]),
+            np.arange(32.0).reshape(8, 4))
+        np.testing.assert_array_equal(np.asarray(out["gate"]),
+                                      np.full((4,), 0.5))
+        assert int(out["step"]) == 7
