@@ -149,11 +149,11 @@ def run_pretrain():
 # LoRA_rank (modules/RAGraph.py:20), emb_dropout (parse_args.py:22, the
 # lora_dropout rate), lr. Each entry: (use_lora, cfg overrides).
 SWEEP = {
-    # Framework default: LoRA on with the zero-delta start
-    # (lora_init_scale=0.0 became the config default after the SVD-init
-    # regression was root-caused — docs/PARITY.md). Config-identical to
-    # the former "RAGraph-lorascale" arm, whose results file predates
-    # the flip.
+    # LoRA on with the zero-delta start (the best LoRA variant found;
+    # docs/PARITY.md). NOTE: since the 3-seed sweep showed every LoRA
+    # variant losing to the no-LoRA ablation, the SHIPPED default is
+    # use_lora=False — config-identical to the "RAGraph-noLoRA" arm
+    # below; this arm is the opt-in `--lora zero` configuration.
     "RAGraph": (True, {}),
     # The reference's own default: SVD-initialized LoRA delta
     # (modules/RAGraph.py:122-160). This is the arm the docstring's
@@ -194,8 +194,8 @@ def run_finetune(model_name="RAGraph", seed=7, tag=""):
     def cfg_factory(phase):
         import dataclasses as _dc
         c = make_cfg(phase)
-        if use_lora is False:
-            c = _dc.replace(c, use_lora=False)
+        if use_lora is not None:  # arms pin use_lora explicitly;
+            c = _dc.replace(c, use_lora=use_lora)  # None = config default
         if overrides:
             c = _dc.replace(c, **overrides)
         return c

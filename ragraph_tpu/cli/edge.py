@@ -38,6 +38,13 @@ def build_parser():
                    help="cross a plugin --model with a prompt vector "
                         "(modules/graphprompt/plugin_gp/*_gp.py crosses)")
     p.add_argument("--noise", action="store_true")
+    p.add_argument("--lora", default="off", choices=["off", "zero", "svd"],
+                   help="LoRA adapters on the RAGraph finetune tables: "
+                        "off (default — beats both LoRA variants on real "
+                        "amazon, see EdgeModelConfig.use_lora), zero "
+                        "(zero-delta init), svd (the reference's SVD "
+                        "init, modules/RAGraph.py:122-160 — strict "
+                        "parity)")
     p.add_argument("--emb-size", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=2048)
@@ -159,12 +166,15 @@ def _load_rows(args):
 
 def _cfg(args, phase, dataset_name, num_nodes=None):
     from ragraph_tpu.models.edge import edge_config_for
+    lora = getattr(args, "lora", "off")
     return edge_config_for(
         dataset_name, phase, num_nodes=num_nodes,
         emb_size=args.emb_size, num_layers=args.num_layers,
         edge_dropout=args.edge_dropout, lr=args.lr,
         num_epochs=args.epochs, early_stop_patience=args.patience,
         use_noise=args.noise,
+        use_lora=lora != "off",
+        lora_init_scale=1.0 if lora == "svd" else 0.0,
         batch_size=args.batch_size)
 
 

@@ -154,7 +154,7 @@ class TestModels:
 
     def test_ragraph_edge_lora_and_rag(self, dataset):
         g = EdgeGraphArrays.from_dataset(dataset)
-        cfg = _small_cfg(lora_rank=4, use_noise=True)
+        cfg = _small_cfg(lora_rank=4, use_noise=True, use_lora=True)
         pre = RAGraphEdge(cfg, g, phase="pretrain")
         pre_params = pre.init_params(jr.key(0))
         u0, i0 = pre.generate(pre_params)
