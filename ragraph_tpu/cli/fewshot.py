@@ -41,6 +41,14 @@ def build_parser():
     p.add_argument("--save-dir", default="modelset")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--library-capacity", type=int, default=65536)
+    p.add_argument("--mesh", default=None, metavar="dp=D,idx=I",
+                   help="multi-chip layout: the library is BUILT sharded "
+                        "over idx (shard_map compacting appends, "
+                        "parallel/sharded_library.py), fine-tune batches "
+                        "shard over dp with replicated encoder params and "
+                        "support prototypes (XLA inserts the gradient "
+                        "all-reduce). dp*idx must equal the device count; "
+                        "library capacity must divide by idx.")
     return p
 
 
@@ -101,6 +109,10 @@ def main(argv=None):
     rw, lw = weights.get(args.dataset, (0.5, 0.5))
     finetune = args.mode == "finetune"
 
+    from ragraph_tpu.cli.node import _make_mesh
+    mesh = _make_mesh(args)
+    shard_lib = mesh is not None and int(mesh.shape["idx"]) > 1
+
     accs = []
     for task_i in range(args.test_times):
         rng = np.random.default_rng(task_i)
@@ -128,11 +140,47 @@ def main(argv=None):
         state = task.init_state(jr.key(task_i), support,
                                 encoder_params=enc_params,
                                 library_capacity=args.library_capacity)
-        state = task.build_library(
-            state, stacked_batches(train.graphs, args.batch_size,
+
+        def _lib_batches(graphs):
+            return stacked_batches(graphs, args.batch_size,
                                    num_classes=num_class,
-                                   num_graph_classes=num_class),
-            jr.key(task_i + 100))
+                                   num_graph_classes=num_class)
+
+        def _append(state, graphs, key):
+            """Library append — shard_map compacting appends on the
+            idx-sharded store when a >1 idx axis is up (the full store
+            never exists on one device), else the single-device path."""
+            if not shard_lib:
+                return task.build_library(state, _lib_batches(graphs), key)
+            import dataclasses as _dc
+
+            from ragraph_tpu.parallel import build_sharded_library
+            params = state.encoder_params
+
+            def enc_fn(features, adj, node_mask=None):
+                return task._encode(params, features, adj, node_mask)
+
+            lib = build_sharded_library(mesh, state.library, enc_fn,
+                                        _lib_batches(graphs), cfg.library,
+                                        key)
+            return _dc.replace(state, library=lib)
+
+        if mesh is not None:
+            import dataclasses as _dc
+
+            from ragraph_tpu.parallel import (replicate,
+                                              sharded_library_init)
+            lib = (sharded_library_init(mesh, args.library_capacity,
+                                        cfg.emb_size, num_class,
+                                        num_anchors=cfg.library.num_anchors)
+                   if shard_lib else state.library)
+            state = _dc.replace(
+                state,
+                encoder_params=replicate(mesh, state.encoder_params),
+                support=replicate(mesh, state.support),
+                library=lib)
+
+        state = _append(state, train.graphs, jr.key(task_i + 100))
 
         if finetune:
             opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
@@ -145,6 +193,9 @@ def main(argv=None):
                 batches = list(stacked_batches(val.graphs, args.batch_size,
                                                num_classes=num_class,
                                                num_graph_classes=num_class))
+            if mesh is not None:
+                from ragraph_tpu.parallel import shard_batch
+                batches = [shard_batch(mesh, b) for b in batches]
             opt_state = opt.init(state.encoder_params)
             for epoch in range(args.epochs):
                 tot = 0.0
@@ -158,11 +209,7 @@ def main(argv=None):
                                  {"loss": tot / max(len(batches), 1)})
 
         # reference protocol: append val entries before test
-        state = task.build_library(
-            state, stacked_batches(val.graphs, args.batch_size,
-                                   num_classes=num_class,
-                                   num_graph_classes=num_class),
-            jr.key(task_i + 300))
+        state = _append(state, val.graphs, jr.key(task_i + 300))
 
         if args.level == "node":
             acc = task.accuracy_node(

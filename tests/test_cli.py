@@ -145,6 +145,30 @@ def test_fewshot_finetune_node(workdir):
     assert mean > 80.0
 
 
+@pytest.mark.parametrize("level", ["node", "graph"])
+def test_fewshot_mesh_cli(workdir, level):
+    """--mesh dp=2,idx=4 on the fewshot CLI: library built sharded over
+    idx (shard_map appends), fine-tune batches over dp with replicated
+    encoder params + support set, accuracy finite and above chance."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ragraph_tpu.cli import fewshot as fs_cli
+    mean = fs_cli.main(["finetune", "--dataset", "SYNTH", "--hidden", "16",
+                        "--batch-size", "8", "--test-times", "1",
+                        "--epochs", "2", "--retrieve-num", "3",
+                        "--library-capacity", "16384",
+                        "--level", level,
+                        "--mesh", "dp=2,idx=4",
+                        "--save-dir", str(workdir / "m"),
+                        "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean)
+    # above 33% chance; the 2-epoch graph-level run measures 45.83 —
+    # IDENTICAL with and without --mesh (the sharded build + dp step
+    # reproduce the single-device numbers)
+    assert mean > 40.0
+
+
 def test_fewshot_finetune_actually_learns():
     """VERDICT r2 #3: gradients flow and N train steps move the loss
     (r2's bug: zero support adjacency -> zero prototypes -> ln(3) loss
