@@ -20,7 +20,8 @@ no TPU numbers to beat (BASELINE.md).
 Prints ONE JSON line:
   {"metric": "retrieval_qps", "value": <TPU queries/s>,
    "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>,
-   "mfu": <retrieval MFU>, "edge_step_ms": ..., "edge_step_bw_util": ...,
+   "mfu": <retrieval MFU>, "exact_retrieval_ms": ...,
+   "exact_vs_approx": ..., "edge_step_ms": ..., "edge_step_bw_util": ...,
    "library_build_gps": ..., "node_step_ms": ...,
    "probe_tflops": ..., "probe_tflops_post": ..., "degraded": bool}
 """
@@ -199,6 +200,40 @@ def bench_tpu():
     if flops is None:
         flops = 2.0 * Q * R * E  # the score matmul dominates
     return Q / dt, recall, dt, flops / dt, roundtrip
+
+
+def bench_exact_retrieval(roundtrip):
+    """In-chain ms/batch for the EXACT two-phase bucket top-k
+    (``ops/bucket_topk.bucketed_exact_topk``) on the same workload as
+    :func:`bench_tpu` — captures the exact-vs-approx ratio as a driver
+    number of record (README claims ~1.9x at this shape)."""
+    import jax
+    import jax.numpy as jnp
+    from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
+    from ragraph_tpu.ops.similarity import l2_normalize
+
+    rng = np.random.default_rng(4)
+    keys_n = l2_normalize(jnp.asarray(
+        rng.normal(size=(R, E)).astype(np.float32))).astype(jnp.bfloat16)
+    queries = jnp.asarray(rng.normal(size=(Q, E)).astype(np.float32))
+
+    @jax.jit
+    def chain(q, kn):
+        def body(_, carry):
+            qq, acc = carry
+            s, _ = bucketed_exact_topk(
+                l2_normalize(qq).astype(jnp.bfloat16), kn, K)
+            return qq + 1e-6 * s[:, :1], acc + s[0, 0]
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
+        return acc
+
+    float(chain(queries, keys_n))  # compile
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(queries, keys_n))
+        totals.append(time.perf_counter() - t0)
+    return max((min(totals) - roundtrip) / ITERS, 1e-9)
 
 
 def bench_edge_step(roundtrip):
@@ -461,6 +496,7 @@ def main():
           f"(degraded={degraded})", file=sys.stderr)
 
     tpu_qps, recall, dt, flops_s, roundtrip = bench_tpu()
+    exact_dt = bench_exact_retrieval(roundtrip)
     edge_dt, _, edge_bytes_s = bench_edge_step(roundtrip)  # FLOP/s unused:
     # the edge step is gather-bound, HBM bandwidth is its ceiling
     lib_gps = bench_library_build()
@@ -486,6 +522,8 @@ def main():
     print(f"# R={R} E={E} Q={Q} k={K}: TPU {tpu_qps:,.0f} q/s "
           f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}, "
           f"{flops_s/1e12:.1f} TFLOP/s = {mfu} MFU); "
+          f"exact top-k {exact_dt*1e3:.2f} ms/batch "
+          f"({exact_dt/dt:.2f}x approx); "
           f"edge train step {edge_dt*1e3:.2f} ms "
           f"({(edge_bytes_s or 0)/1e9:.0f} GB/s = {edge_bwu} of peak HBM "
           f"bw); library build {lib_gps:,.0f} graphs/s; "
@@ -497,6 +535,8 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(speedup, 2),
         "mfu": mfu,
+        "exact_retrieval_ms": round(exact_dt * 1e3, 3),
+        "exact_vs_approx": round(exact_dt / dt, 2),
         "edge_step_ms": round(edge_dt * 1e3, 3),
         "edge_step_bw_util": edge_bwu,
         "library_build_gps": round(lib_gps, 1),
