@@ -170,9 +170,15 @@ class EdgeTrainer:
             snap = restore_checkpoint(resume_path, use_orbax=False)
             params = self._place_params(
                 jax.tree.map(jnp.asarray, snap["params"]))
-            opt_state = jax.tree.map(jnp.asarray, snap["opt_state"])
+            # the Adam state mirrors the param tree (mu/nu dicts keyed by
+            # the same names), so the same placement rule shards its
+            # table moments; left on the default device, GSPMD would
+            # re-reshard the moments onto the mesh every step
+            opt_state = self._place_params(
+                jax.tree.map(jnp.asarray, snap["opt_state"]))
             best = snap["best"]
-            best_params = jax.tree.map(jnp.asarray, snap["best_params"])
+            best_params = self._place_params(
+                jax.tree.map(jnp.asarray, snap["best_params"]))
             start_epoch = snap["epoch"] + 1
             stop_counter = snap["stop_counter"]
             self.log(f"resumed from {resume_path} at epoch {start_epoch}")

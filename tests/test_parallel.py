@@ -493,6 +493,43 @@ class TestShardedModelPropagation:
 
 
 class TestShardedCheckpoint:
+    def test_trainer_mesh_resume(self, mesh24, tmp_path):
+        """Mesh + checkpoint resume end-to-end: the restored
+        opt_state/best_params go through the same mesh placement as
+        params (left on the default device they'd be re-resharded by
+        GSPMD every step), and the resumed run trains to finite
+        metrics."""
+        import jax.random as jr
+
+        from ragraph_tpu.data import load_edge_dataset, synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, GraphPro)
+        from ragraph_tpu.train import EdgeTrainer
+
+        train, stages = synthetic_edge_stream(seed=1, num_users=24,
+                                              num_items=40, num_stages=1)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, *_) in stages[0]])
+        cfg = EdgeModelConfig(emb_size=8, num_layers=2, batch_size=32,
+                              num_epochs=4, edge_dropout=0.2,
+                              early_stop_patience=100)
+        n_idx = int(mesh24.shape["idx"])
+        model = GraphPro(cfg, EdgeGraphArrays.from_dataset(ds)
+                         .with_sharding(n_idx),
+                         phase="pretrain", mesh=mesh24)
+        params = model.init_params(jr.key(0))
+        ckdir = str(tmp_path / "ck")
+        t1 = EdgeTrainer(model, ds, logger=lambda *a, **k: None,
+                         mesh=mesh24)
+        t1.train(params, jr.key(1), num_epochs=2,
+                 rng=np.random.default_rng(7),
+                 checkpoint_dir=ckdir, checkpoint_every=2)
+        t2 = EdgeTrainer(model, ds, logger=lambda *a, **k: None,
+                         mesh=mesh24)
+        res = t2.train(params, jr.key(1), num_epochs=4,
+                       rng=np.random.default_rng(7),
+                       checkpoint_dir=ckdir, checkpoint_every=2)
+        assert np.isfinite(res.best_perform["recall"]).all()
+
     def test_restore_sharded_keeps_mesh_layout(self, mesh24, tmp_path):
         """Checkpoint a multi-chip state (idx-sharded table + replicated
         params), restore via restore_sharded: values round-trip and every
