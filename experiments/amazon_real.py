@@ -271,9 +271,12 @@ def run_lora_init_probe():
     return out
 
 
-def run_vanilla():
+def run_vanilla(seed=7, tag=""):
     """Training-free staged eval (vanilla_ragraph.py protocol): frozen
-    pretrained embeddings + resource-graph retrieval, no fine-tuning."""
+    pretrained embeddings + resource-graph retrieval, no fine-tuning.
+
+    ``seed`` moves the only stochastic pieces (inverse sampling of the
+    resource rows + the per-stage retrieval noise keys)."""
     import jax.numpy as jnp
     import jax.random as jr
 
@@ -284,7 +287,7 @@ def run_vanilla():
     from ragraph_tpu.utils import seed_everything
 
     log = RunLogger(save_dir=SAVE, exp_name="amazon-vanilla")
-    seed_everything(2023)
+    seed_everything(2023 + seed)
     pretrain_rows, val_rows, ft_rows, stage_rows = load_rows()
     tables = restore_checkpoint(CKPT, use_orbax=False)
     num_users = tables["meta"]["num_users"]
@@ -306,7 +309,7 @@ def run_vanilla():
         # jit the full generate: the eager path would materialize every
         # intermediate (the (N, k, E) retrieval gather alone is ~3 GB)
         u0, i0 = jax.jit(model.generate)(params)
-        model.make_resource_graph(u0, i0, jr.key(stage))
+        model.make_resource_graph(u0, i0, jr.fold_in(jr.key(seed), stage))
         del u0, i0
         user_emb, item_emb = jax.jit(model.generate)(params)
         result = ev.evaluate(user_emb, item_emb, ds.test_user_dict,
@@ -319,10 +322,12 @@ def run_vanilla():
             f"ndcg={ndcgs[-1]:.5f}")
     log(f"vanilla avg recall@20 {np.mean(recalls):.5f} "
         f"avg ndcg@20 {np.mean(ndcgs):.5f}")
-    with open(os.path.join(SAVE, "amazon_real_vanilla.json"), "w") as f:
+    with open(os.path.join(SAVE, f"amazon_real_vanilla{tag}.json"),
+              "w") as f:
         json.dump({"recalls": recalls, "ndcgs": ndcgs,
                    "avg_recall": float(np.mean(recalls)),
-                   "avg_ndcg": float(np.mean(ndcgs))}, f, indent=2)
+                   "avg_ndcg": float(np.mean(ndcgs)),
+                   "seed": seed}, f, indent=2)
 
 
 if __name__ == "__main__":
@@ -346,4 +351,4 @@ if __name__ == "__main__":
     if mode == "lora-init-probe":
         run_lora_init_probe()
     if mode == "vanilla":
-        run_vanilla()
+        run_vanilla(seed=seed, tag=tag)

@@ -589,16 +589,21 @@ class TemporalLightGCN:
         return jnp.dot(user_emb, item_emb.T,
                        preferred_element_type=jnp.float32)
 
-    def recommend(self, params, user_ids: jax.Array, k: int = 20,
-                  hist_rows: jax.Array | None = None,
-                  hist_cols: jax.Array | None = None, key=None):
-        """Serving path: top-k item ids per user, history-masked.
+    @staticmethod
+    def recommend_from(user_emb: jax.Array, item_emb: jax.Array,
+                       user_ids: jax.Array, k: int = 20,
+                       hist_rows: jax.Array | None = None,
+                       hist_cols: jax.Array | None = None):
+        """Serving hot path from PRECOMPUTED embeddings: score + history
+        mask + top-k. In production the full-graph ``generate`` runs once
+        per model refresh (it depends only on params + graph), while this
+        runs per request — see ``benchmarks/bench_serving.py`` for the
+        measured request latencies.
 
         ``hist_rows/hist_cols`` index (batch-row, item) pairs to exclude
         (the user's seen items; out-of-bounds columns are ignored). Uses
         the TPU PartialReduce top-k above 32k items.
         """
-        user_emb, item_emb = self.generate(params, key=key)
         scores = jnp.dot(user_emb[user_ids], item_emb.T,
                          preferred_element_type=jnp.float32)
         if hist_rows is not None:
@@ -608,6 +613,14 @@ class TemporalLightGCN:
         else:
             s, idx = jax.lax.top_k(scores, k)
         return s, idx
+
+    def recommend(self, params, user_ids: jax.Array, k: int = 20,
+                  hist_rows: jax.Array | None = None,
+                  hist_cols: jax.Array | None = None, key=None):
+        """One-shot serving path: full ``generate`` + :meth:`recommend_from`."""
+        user_emb, item_emb = self.generate(params, key=key)
+        return self.recommend_from(user_emb, item_emb, user_ids, k=k,
+                                   hist_rows=hist_rows, hist_cols=hist_cols)
 
 
 class LightGCNEdge(TemporalLightGCN):

@@ -365,6 +365,14 @@ def test_recommend_serving_path(stream):
         hist_rows=jnp.asarray([0]), hist_cols=jnp.asarray([0]))
     assert items.shape == (4, 5)
     assert 0 not in np.asarray(items[0])  # masked
+    # the precomputed-embedding hot path returns the same ranking
+    ue, ie = model.generate(params)
+    s2, i2 = model.recommend_from(ue, ie, users, k=5,
+                                  hist_rows=jnp.asarray([0]),
+                                  hist_cols=jnp.asarray([0]))
+    np.testing.assert_array_equal(np.asarray(items), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s2),
+                               rtol=1e-6)
 
 
 def test_graph_as_jit_argument_no_recompile(stream):
