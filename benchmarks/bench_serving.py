@@ -1,0 +1,241 @@
+"""Serving-latency benchmark: per-request inference latencies on TPU.
+
+The reference has no serving story (its "serving" is `rating = U @ I^T`
+inside eval, ``RAGraph_edge/modules/RAGraph.py:362``); this measures the
+TPU-native request paths a deployment actually runs:
+
+1. **edge recommend (hot path)** — :meth:`RAGraphEdge.recommend_from`:
+   precomputed full-graph embeddings (refreshed once per model update),
+   per request: gather B user rows -> (B, I) score matmul -> history
+   mask -> top-k. Measured at B = 1 / 256 / 4096 over 128k items.
+2. **edge embedding refresh** — one full ``generate`` (3-layer
+   propagation over 2M directed edges + gating): the cost of a model
+   refresh, amortized over every request until the next one.
+3. **node-task inference** — the training-free RAGraph forward
+   (encoder -> retrieval from a 262k library -> fusion -> decode) on a
+   2048-node graph: per-batch classification latency.
+
+Methodology matches bench.py (chain iterations inside one jit, pull one
+scalar, subtract the measured tunnel roundtrip; the request chains feed
+each iteration's output back into the next request's input so nothing is
+dead-code-eliminated).
+
+Measured (v5e single chip, r3):
+
+  edge embedding refresh (128k x 128k, 2M edges, 3 layers)   25.3 ms
+  recommend_from  B=1    over 131k items, k=20     0.038 ms  (26k req/s)
+  recommend_from  B=256                            0.449 ms  (570k users/s)
+  recommend_from  B=4096                           8.49 ms   (482k users/s)
+  node-task inference (2048 nodes, 262k library)   2.08 ms/batch
+
+The B=4096 request is HBM-bound on the (B, I) f32 score matrix: the
+history-mask scatter between the matmul and approx_max_k forces the
+scores to materialize (2.1 GB at that shape). Sub-512 batches are the
+serving sweet spot; above it, shard requests or accept the linear cost.
+
+Usage: python benchmarks/bench_serving.py   (real TPU)
+"""
+
+import time
+
+import numpy as np
+
+ITERS = 50
+
+
+def _roundtrip():
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.float32(1.0)
+    for _ in range(3):
+        float(f(x))
+    t0 = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t0
+
+
+def _time_chain(fn, *args, roundtrip):
+    """min-of-3 of a jitted ITERS-chain, per-iteration seconds."""
+    float(fn(*args))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - roundtrip) / ITERS, 1e-9)
+
+
+def _time_slope(make_chain, *args):
+    """Per-iteration seconds as the slope between an ITERS and a 4*ITERS
+    chain — for work faster than one tunnel roundtrip, where roundtrip
+    subtraction clamps to zero (same trick as bench.py's node step)."""
+    short, long_ = make_chain(ITERS), make_chain(4 * ITERS)
+    float(short(*args))  # compile both lengths
+    float(long_(*args))
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(short(*args))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long_(*args))
+        tl.append(time.perf_counter() - t0)
+    return max((min(tl) - min(ts)) / (3 * ITERS), 1e-9)
+
+
+def bench_edge_serving(roundtrip):
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
+                                         RAGraphEdge)
+
+    U = I = 1 << 17
+    M, D = 1 << 20, 64
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, U, M).astype(np.int32)
+    it = rng.integers(0, I, M).astype(np.int32) + U
+    send = np.concatenate([u, it])
+    recv = np.concatenate([it, u])
+    order = np.argsort(recv, kind="stable")
+    send, recv = send[order], recv[order]
+    deg = np.bincount(send, minlength=U + I).astype(np.float32)
+    norm = (1.0 / np.sqrt(np.maximum(deg[send] * deg[recv],
+                                     1.0))).astype(np.float32)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(recv, minlength=U + I))]).astype(np.int32)
+    # sender-order auxiliaries + static time norm: the refresh must run
+    # the FUSED propagation (segsum_impl auto), same as bench.py's step
+    perm = np.argsort(send, kind="stable").astype(np.int32)
+    sip = np.concatenate(
+        [[0], np.cumsum(np.bincount(send, minlength=U + I))]).astype(np.int32)
+    tn = np.ones(2 * M, np.float32)
+    tn /= np.maximum(np.bincount(recv, minlength=U + I), 1.0)[recv]
+    g = EdgeGraphArrays(
+        senders=jnp.asarray(send), receivers=jnp.asarray(recv),
+        edge_norm=jnp.asarray(norm),
+        edge_times=jnp.zeros(2 * M, jnp.float32),
+        num_users=U, num_items=I, recv_indptr=jnp.asarray(indptr),
+        send_perm=jnp.asarray(perm), send_indptr=jnp.asarray(sip),
+        recv_of_send=jnp.asarray(recv[perm].astype(np.int32)),
+        edge_norm_send=jnp.asarray(norm[perm]),
+        time_norm=jnp.asarray(tn), time_norm_send=jnp.asarray(tn[perm]))
+    cfg = EdgeModelConfig(emb_size=D, num_layers=3)
+    model = RAGraphEdge(cfg, g, phase="pretrain")
+    params = model.init_params(jax.random.key(0))
+
+    # --- refresh cost: one full generate ---
+    gen = jax.jit(lambda p: model.generate(p))
+    ue, ie = gen(params)
+    float(ue[0, 0])
+
+    @jax.jit
+    def gen_chain(p):
+        def body(i, acc):
+            ue, ie = model.generate(p)
+            return acc + ue[0, 0] + ie[0, 0]
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0))
+
+    float(gen_chain(params))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(gen_chain(params))
+        ts.append(time.perf_counter() - t0)
+    refresh_ms = max((min(ts) - roundtrip) / 10, 1e-9) * 1e3
+
+    # --- request path at several batch sizes ---
+    out = {}
+    hist_cols = jnp.asarray(rng.integers(0, I, 32).astype(np.int32))
+    for B in (1, 256, 4096):
+        users0 = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+        hist_rows = jnp.asarray(rng.integers(0, B, 32).astype(np.int32))
+
+        def make_chain(iters):
+            @jax.jit
+            def req_chain(ue, ie, users):
+                def body(i, carry):
+                    us, acc = carry
+                    s, idx = model.recommend_from(ue, ie, us, k=20,
+                                                  hist_rows=hist_rows,
+                                                  hist_cols=hist_cols)
+                    # next request's users derive from this result (no DCE)
+                    us = (us + idx[:, 0].astype(jnp.int32)) % U
+                    return us, acc + s[0, 0]
+                _, acc = jax.lax.fori_loop(0, iters, body,
+                                           (users, jnp.float32(0)))
+                return acc
+            return req_chain
+
+        # slope timing: the small-B requests are far faster than one
+        # tunnel roundtrip, where plain subtraction clamps to zero
+        out[B] = _time_slope(make_chain, ue, ie, users0) * 1e3
+    return refresh_ms, out
+
+
+def bench_node_inference(roundtrip):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.core.graph import DenseGraph, normalize_adj_dense
+    from ragraph_tpu.models.ragraph_node import (RAGraphNode,
+                                                 RAGraphNodeConfig)
+
+    N, F, C, CAP = 2048, 256, 10, 262_144
+    cfg = RAGraphNodeConfig(emb_size=256, num_class=C, finetune=False)
+    model = RAGraphNode(cfg, F)
+    state = model.init_state(jax.random.key(0), library_capacity=CAP)
+    rng = np.random.default_rng(2)
+    lib = dataclasses.replace(
+        state.library,
+        keys=jnp.asarray(rng.normal(size=(CAP + 1, 256)), jnp.float32),
+        values=jnp.asarray(rng.normal(size=(CAP + 1, 256)), jnp.float32),
+        labels=jnp.asarray(
+            np.eye(C, dtype=np.float32)[rng.integers(0, C, CAP + 1)]),
+        fill=jnp.asarray(CAP, jnp.int32))
+    state = dataclasses.replace(state, library=lib)
+    a = (rng.random((N, N)) < 0.01).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    graph = DenseGraph(
+        features=jnp.asarray(rng.normal(size=(N, F)), jnp.float32),
+        adj=normalize_adj_dense(jnp.asarray(a)),
+        node_mask=jnp.ones((N,), bool),
+        labels=jnp.asarray(np.eye(C, dtype=np.float32)[
+            rng.integers(0, C, N)]),
+        graph_ids=jnp.zeros((N,), jnp.int32),
+        num_graphs=jnp.asarray(1, jnp.int32))
+
+    @jax.jit
+    def chain(state, graph):
+        def body(i, carry):
+            g, acc = carry
+            logits = model.forward(state, g)
+            g = dataclasses.replace(
+                g, features=g.features + 1e-6 * logits[:, :1])
+            return g, acc + logits[0, 0]
+        _, acc = jax.lax.fori_loop(0, ITERS, body,
+                                   (graph, jnp.float32(0)))
+        return acc
+
+    return _time_chain(chain, state, graph, roundtrip=roundtrip) * 1e3
+
+
+def main():
+    rt = _roundtrip()
+    refresh_ms, req = bench_edge_serving(rt)
+    node_ms = bench_node_inference(rt)
+    print(f"edge embedding refresh (128k x 128k users/items, 2M edges, "
+          f"3 layers): {refresh_ms:.2f} ms")
+    for b, ms in req.items():
+        print(f"edge recommend_from  B={b:<5d} over 131k items, k=20: "
+              f"{ms:.3f} ms/request ({b / ms * 1e3:,.0f} users/s)")
+    print(f"node-task inference (2048 nodes, 262k-row library, "
+          f"training-free forward): {node_ms:.2f} ms/batch")
+
+
+if __name__ == "__main__":
+    main()
