@@ -373,6 +373,15 @@ def test_recommend_serving_path(stream):
     np.testing.assert_array_equal(np.asarray(items), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(s2),
                                rtol=1e-6)
+    # fused candidate path (top-(k+pad) then history filter) matches the
+    # scatter path when per-row history fits the pad
+    s3, i3 = model.recommend_from(ue, ie, users, k=5,
+                                  hist_rows=jnp.asarray([0]),
+                                  hist_cols=jnp.asarray([0]),
+                                  hist_pad=4)
+    np.testing.assert_array_equal(np.asarray(items), np.asarray(i3))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s3),
+                               rtol=1e-6)
 
 
 def test_graph_as_jit_argument_no_recompile(stream):
