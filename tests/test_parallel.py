@@ -157,6 +157,32 @@ class TestShardedEdgeTraining:
                                    atol=1e-5)
 
 
+    def test_sharded_serving_recommend(self, mesh24):
+        """recommend_from on idx-sharded embeddings (the serving layout
+        for tables that don't fit one chip) matches the single-device
+        ranking bit-for-bit — GSPMD partitions the score matmul over the
+        item axis and all-gathers only the (B, k) results."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ragraph_tpu.models.edge import RAGraphEdge
+
+        rng = np.random.default_rng(3)
+        ue = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+        ie = jnp.asarray(rng.normal(size=(128, 16)).astype(np.float32))
+        users = jnp.arange(8, dtype=jnp.int32)
+        hr = jnp.asarray([0, 1], dtype=jnp.int32)
+        hc = jnp.asarray([3, 7], dtype=jnp.int32)
+
+        s1, i1 = jax.jit(RAGraphEdge.recommend_from, static_argnums=(3,))(
+            ue, ie, users, 5, hr, hc)
+        rows = NamedSharding(mesh24, P("idx"))
+        s2, i2 = jax.jit(RAGraphEdge.recommend_from, static_argnums=(3,))(
+            jax.device_put(ue, rows), jax.device_put(ie, rows),
+            users, 5, hr, hc)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+
+
 class TestMultiSlice:
     """The (dcn, dp, idx) multi-slice layout (SURVEY §2 'optional DCN data
     parallelism across slices'), emulated with 2 virtual slices of 4."""
