@@ -384,6 +384,34 @@ def test_recommend_serving_path(stream):
                                rtol=1e-6)
 
 
+def test_recommend_from_fused_large_catalog():
+    """The fused hist_pad path on the >=32k-item (approx) branch: the
+    candidate filter must drop exactly the history items (CPU's
+    approx_max_k is exact, so the comparison is deterministic)."""
+    import jax.numpy as jnp
+
+    from ragraph_tpu.models.edge import RAGraphEdge
+
+    rng = np.random.default_rng(11)
+    ue = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    ie = jnp.asarray(rng.normal(size=(32768, 16)).astype(np.float32))
+    users = jnp.arange(8, dtype=jnp.int32)
+    # mask each row's unmasked top-1 so the filter provably fires
+    _, top1 = RAGraphEdge.recommend_from(ue, ie, users, k=1)
+    hr = jnp.arange(8, dtype=jnp.int32)
+    hc = top1[:, 0].astype(jnp.int32)
+    s_ref, i_ref = RAGraphEdge.recommend_from(ue, ie, users, k=5,
+                                              hist_rows=hr, hist_cols=hc)
+    s_f, i_f = RAGraphEdge.recommend_from(ue, ie, users, k=5,
+                                          hist_rows=hr, hist_cols=hc,
+                                          hist_pad=8)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_f))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_f),
+                               rtol=1e-6)
+    # the masked items never surface
+    assert not (np.asarray(i_f) == np.asarray(hc)[:, None]).any()
+
+
 def test_graph_as_jit_argument_no_recompile(stream):
     """One compiled step serves two different graphs of the same shape
     (VERDICT r1 #3): EdgeGraphArrays is a pytree jit argument, not a baked
