@@ -73,6 +73,21 @@ def test_edge_staged_finetune(workdir):
          "--epochs", "2", "--batch-size", "128",
          "--save-dir", str(workdir / "s")])
     assert len(result.recalls) == 4
+
+
+@pytest.mark.parametrize("lora", ["zero", "svd"])
+def test_edge_finetune_lora_flag(workdir, lora):
+    """--lora zero|svd turns the opt-in LoRA adapters on (svd = the
+    reference's exact default init, modules/RAGraph.py:122-160)."""
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "1", "--batch-size", "128",
+                   "--save-dir", str(workdir / "s")])
+    result = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "1", "--batch-size", "128", "--lora", lora,
+         "--save-dir", str(workdir / "s")])
+    assert len(result.recalls) == 4
+    assert all(np.isfinite(result.recalls))
     out = json.load(open(workdir / "s" / "finetune_RAGraph_SYNTH.json"))
     assert np.isfinite(out["avg_recall"])
 
