@@ -67,6 +67,13 @@ class LibraryConfig:
     dis_q: int = 10
     structure_weight: float = 0.0
     semantic_weight: float = 0.999
+    # int8 MXU scoring tier (``ops.topk.cosine_topk(score_dtype=...)``):
+    # ~1.5x retrieval throughput on v5e at a measured recall cost (0.9254
+    # recall@10 raw, 0.9875 with rescore_pad=22 at R=262k) — opt-in, and
+    # inert on the structure-weighted fewshot path (which scores outside
+    # cosine_topk).
+    retrieve_dtype: str = "input"     # "input" | "int8"
+    retrieve_rescore_pad: int = 0
 
 
 @_pytree_dataclass(meta_fields=("capacity",))
@@ -319,7 +326,9 @@ def retrieve(lib: ToyGraphLibrary, search_keys: jax.Array,
         _, topk_idx = jax.lax.top_k(scores, k_retrieve)
     else:
         _, topk_idx = cosine_topk(search_keys, res_keys, k_retrieve,
-                                  valid_mask=valid)
+                                  valid_mask=valid,
+                                  score_dtype=cfg.retrieve_dtype,
+                                  rescore_pad=cfg.retrieve_rescore_pad)
 
     rag_embeddings = topk_gather(res_values, topk_idx)
     rag_labels = topk_gather(res_labels, topk_idx)
