@@ -38,6 +38,24 @@ def test_node_pretrain_then_finetune(workdir):
     assert mean > 40.0  # well above 33% chance even with 2 epochs
 
 
+def test_node_finetune_int8_retrieval(workdir):
+    """--retrieve-dtype int8 (+ rescore pad) drives the quantized scoring
+    tier through the full fine-tune; accuracy stays well above chance."""
+    node_cli.main(["pretrain", "--dataset", "SYNTH", "--hidden", "16",
+                   "--pretrain-epochs", "2", "--batch-size", "8",
+                   "--save-dir", str(workdir / "m"),
+                   "--results-dir", str(workdir / "r")])
+    mean = node_cli.main(["finetune", "--dataset", "SYNTH", "--hidden",
+                          "16", "--epochs", "2", "--batch-size", "8",
+                          "--test-times", "1",
+                          "--library-capacity", "8192",
+                          "--retrieve-dtype", "int8",
+                          "--retrieve-rescore-pad", "8",
+                          "--save-dir", str(workdir / "m"),
+                          "--results-dir", str(workdir / "r")])
+    assert mean > 40.0
+
+
 def test_node_vanilla_graph_level(workdir):
     node_cli.main(["pretrain", "--dataset", "SYNTH", "--hidden", "16",
                    "--pretrain-epochs", "1", "--batch-size", "8",
