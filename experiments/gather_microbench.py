@@ -102,9 +102,14 @@ def main():
     w = jnp.asarray(rng.random(E).astype(np.float32))
     print("device:", jax.devices()[0].device_kind,
           f"(tunnel roundtrip {roundtrip_s()*1e3:.1f} ms)")
+    table_i8 = jnp.clip(jnp.round(table * 16), -127, 127).astype(jnp.int8)
+    table_wide = jnp.concatenate([table_bf, table_bf], axis=1)  # D=128
     for name, fn, args, nbytes in [
         ("random bf16           ", gather_plain, (table_bf, idx_rand), 2),
         ("random f32            ", gather_plain, (table, idx_rand), 4),
+        ("random int8           ", gather_plain, (table_i8, idx_rand), 1),
+        ("random bf16 D=128     ", gather_plain, (table_wide, idx_rand),
+         4),  # 2 bytes x 2D: same total bytes as f32 row
         ("sorted bf16           ", gather_plain, (table_bf, idx_sorted), 2),
         ("zipf bf16             ", gather_plain, (table_bf, idx_zipf), 2),
         ("zipf degree-sorted    ", gather_plain, (table_bf, idx_zipf_deg),
