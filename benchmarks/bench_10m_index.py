@@ -90,6 +90,46 @@ def main():
     print(f"brute force: {brute_dt*1e3:.1f} ms / {Q} queries "
           f"({Q/brute_dt:,.0f} q/s)")
 
+    # ---- int8 tier: pre-quantized table + double-rate MXU scoring ----
+    from ragraph_tpu.ops.topk import cosine_topk
+
+    @jax.jit
+    def quantize(kn):
+        # chunked: the table is GiB-scale (int8 output halves it vs bf16)
+        def one(c):
+            return jnp.clip(jnp.round(c.astype(jnp.float32) * 127.0),
+                            -127, 127).astype(jnp.int8)
+        return jax.lax.map(one, kn.reshape(100, -1, E)).reshape(R, E)
+
+    keys_i8 = quantize(keys_n)
+    jax.block_until_ready(keys_i8)
+
+    @jax.jit
+    def brute_i8(q, ki):
+        return cosine_topk(q, ki, K, method="approx", score_dtype="int8")
+
+    s8, i8_ids = brute_i8(queries, keys_i8)
+    jax.block_until_ready((s8, i8_ids))
+
+    @jax.jit
+    def i8_chain(q, ki):
+        def body(_, carry):
+            qq, acc = carry
+            sv, _ = brute_i8(qq, ki)
+            return qq + 1e-6 * sv[:, :1], acc + sv[0, 0]
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(i8_chain(queries, keys_i8))
+    t0 = time.perf_counter()
+    float(i8_chain(queries, keys_i8))
+    i8_dt = (time.perf_counter() - t0) / iters
+    hit8 = (i8_ids[:, :, None] == brute_ids[:, None, :]).any(-1)
+    print(f"int8 tier: {i8_dt*1e3:.1f} ms / {Q} queries "
+          f"({Q/i8_dt:,.0f} q/s, {brute_dt/i8_dt:.2f}x bf16; table "
+          f"{keys_i8.nbytes/2**30:.2f} GiB vs {keys_n.nbytes/2**30:.2f}); "
+          f"recall@{K} vs bf16+approx = {float(hit8.mean()):.4f}")
+    del keys_i8
+
     # ---- EXACT brute force: two-phase bucket kernel ----
     from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
 

@@ -38,6 +38,10 @@ def build_parser():
                    help="cross a plugin --model with a prompt vector "
                         "(modules/graphprompt/plugin_gp/*_gp.py crosses)")
     p.add_argument("--noise", action="store_true")
+    p.add_argument("--retrieve-dtype", choices=["input", "int8"],
+                   default="input",
+                   help="int8: double-rate MXU scoring for the RAG "
+                        "retrieval (see EdgeModelConfig.retrieve_dtype)")
     p.add_argument("--lora", default="off", choices=["off", "zero", "svd"],
                    help="LoRA adapters on the RAGraph finetune tables: "
                         "off (default — beats both LoRA variants on real "
@@ -175,6 +179,7 @@ def _cfg(args, phase, dataset_name, num_nodes=None):
         use_noise=args.noise,
         use_lora=lora != "off",
         lora_init_scale=1.0 if lora == "svd" else 0.0,
+        retrieve_dtype=getattr(args, "retrieve_dtype", "input"),
         batch_size=args.batch_size)
 
 

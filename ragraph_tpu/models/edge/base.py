@@ -91,6 +91,13 @@ class EdgeModelConfig:
     # every step, RAGraph.py:250-263) at ~70 ms/step extra at 2M edges
     # (scalar segment ops). See docs/PARITY.md.
     time_mode: str = "static"
+    # RAG retrieval scoring tier (ops.topk.cosine_topk score_dtype):
+    # "int8" scores the library retrieval on the double-rate s8 MXU path
+    # (~2.2x at 262k rows; recall@10 0.92 at the bench shape). Applies to
+    # the index-path retrieval only — the huge-k threshold branch keeps
+    # the input dtype (its k-th-score threshold needs the same precision
+    # as the membership test).
+    retrieve_dtype: str = "input"
     # plugin knobs (``parse_args.py:49-63``)
     temp: float = 0.2        # SGL InfoNCE temperature
     lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)

@@ -483,7 +483,8 @@ class TemporalLightGCN:
                 s = jnp.dot(member.astype(res_values.dtype), res_values,
                             preferred_element_type=jnp.float32)
                 return s / jnp.maximum(count, 1), count[:, 0]
-            _, idx = cosine_topk(qc, keys_n, k, keys_normalized=True)
+            _, idx = cosine_topk(qc, keys_n, k, keys_normalized=True,
+                                 score_dtype=self.cfg.retrieve_dtype)
             vals = topk_gather(res_values, idx)              # (chunk, k, E)
             return vals.mean(axis=1), jnp.full((qc.shape[0],), k, jnp.int32)
 

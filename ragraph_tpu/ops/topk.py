@@ -171,7 +171,7 @@ def _int8_topk(q, kk, k, valid_mask, method, recall_target, rescore_pad):
             return jax.lax.approx_max_k(scores, k,
                                         recall_target=recall_target)
         return jax.lax.top_k(scores, k)
-    kc = k + rescore_pad
+    kc = min(k + rescore_pad, kk.shape[0])  # small shards/libraries
     if method == "approx":
         _, cand = jax.lax.approx_max_k(
             scores, kc, recall_target=min(recall_target, 0.9))

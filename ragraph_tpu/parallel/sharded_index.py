@@ -26,14 +26,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
                         k: int, valid_mask: jax.Array | None = None,
                         axis_name: str = "idx", local_method: str = "auto",
-                        recall_target: float = 0.99):
+                        recall_target: float = 0.99,
+                        score_dtype: str = "input", rescore_pad: int = 0):
     """Exact distributed cosine top-k.
 
     Args:
       queries: ``(Q, E)`` replicated.
       keys: ``(R, E)``, rows sharded over ``axis_name`` (R divisible by the
-        axis size).
+        axis size). May be a pre-quantized int8 table
+        (``ops.topk.quantize_keys_i8``) with ``score_dtype="int8"``.
       valid_mask: optional ``(R,)`` bool, sharded like ``keys``.
+      score_dtype / rescore_pad: the int8 MXU scoring tier — see
+        ``ops.topk.cosine_topk``. Each shard scores int8 locally; the
+        global merge over the gathered candidates is unchanged (with
+        ``rescore_pad`` the local candidates carry exact rescored values,
+        so the merge stays comparable across shards).
 
     Returns replicated ``(scores, global_indices)`` of shape ``(Q, k)``.
     """
@@ -52,7 +59,9 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
         k_local = min(k, rows_local)
         s_loc, i_loc = cosine_topk(q, kk, k_local, valid_mask=vm,
                                    method=local_method,
-                                   recall_target=recall_target)
+                                   recall_target=recall_target,
+                                   score_dtype=score_dtype,
+                                   rescore_pad=rescore_pad)
         offset = jax.lax.axis_index(axis_name) * rows_local
         i_loc = i_loc + offset
         # gather k·D candidates per query over ICI

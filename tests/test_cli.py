@@ -110,6 +110,21 @@ def test_edge_finetune_lora_flag(workdir, lora):
     assert np.isfinite(out["avg_recall"])
 
 
+def test_edge_finetune_int8_retrieval(workdir):
+    """--retrieve-dtype int8 scores the RAG retrieval on the quantized
+    tier through the full staged finetune."""
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "1", "--batch-size", "128",
+                   "--save-dir", str(workdir / "s")])
+    result = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "1", "--batch-size", "128",
+         "--retrieve-dtype", "int8",
+         "--save-dir", str(workdir / "s")])
+    assert len(result.recalls) == 4
+    assert all(np.isfinite(result.recalls))
+
+
 @pytest.mark.parametrize("extra", [
     ["--model", "roland"],
     ["--model", "evolvegcn_h"],

@@ -349,6 +349,42 @@ class TestShardedLibraryBuild:
         np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=1e-5)
 
 
+def test_sharded_topk_int8_tier(mesh8):
+    """Int8 local scoring (raw and rescored, incl. a pre-quantized sharded
+    table) through the sharded merge — high agreement with the exact
+    single-device result, exact scores after rescore."""
+    from ragraph_tpu.ops.topk import quantize_keys_i8
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
+    s_ref, i_ref = cosine_topk(q, keys, 8)
+
+    _, i_raw = sharded_cosine_topk(mesh8, q, shard_rows(mesh8, keys), 8,
+                                   score_dtype="int8")
+    hit = (np.asarray(i_raw)[:, :, None]
+           == np.asarray(i_ref)[:, None, :]).any(-1).mean()
+    assert hit > 0.9, hit
+
+    s_rs, i_rs = sharded_cosine_topk(mesh8, q, shard_rows(mesh8, keys), 8,
+                                     score_dtype="int8", rescore_pad=8)
+    hit = (np.asarray(i_rs)[:, :, None]
+           == np.asarray(i_ref)[:, None, :]).any(-1).mean()
+    assert hit > 0.97, hit
+    # rescored candidate scores are the true f32 scores
+    full = np.asarray(jnp.dot(q / np.linalg.norm(q, axis=1, keepdims=True),
+                              (keys / np.linalg.norm(keys, axis=1,
+                                                     keepdims=True)).T))
+    got = np.take_along_axis(full, np.asarray(i_rs), axis=1)
+    np.testing.assert_allclose(np.asarray(s_rs), got, atol=1e-5)
+
+    # pre-quantized sharded table (the per-refresh serving pattern)
+    ki = quantize_keys_i8(keys)
+    _, i_pq = sharded_cosine_topk(mesh8, q, shard_rows(mesh8, ki), 8,
+                                  score_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(i_pq), np.asarray(i_raw))
+
+
 @pytest.mark.parametrize("local_method", ["pallas", "bucket"])
 def test_sharded_topk_kernel_local(mesh8, local_method):
     """Sharded top-k with a Pallas kernel as the local method."""
