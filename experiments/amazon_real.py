@@ -51,6 +51,15 @@ isolated to the reference's SVD initialization, not the port:
   fully does within the 60-epoch stages. ``lora_init_scale=0.0`` is now
   the framework default (docs/PARITY.md); 1.0 restores strict parity.
 
+Int8 retrieval tier at production scale (round-3 continuation): the
+"RAGraph-int8" arm (LoRA off, retrieve_dtype="int8" — config-identical
+to "RAGraph-noLoRA" otherwise) scores avg recall@20 **0.01222 / ndcg
+0.00616** at seed 7 vs the bf16 baseline's 0.01222 / 0.00613 (3-seed
+std 0.00004) — the quantized retrieval tier costs NOTHING on real-data
+ranking quality: the fused RAG term is a mean over 20 retrieved rows
+weighted 0.3, so single-neighbor swaps at int8's recall@10~0.92 wash
+out (the same dilution that makes retrieval noise-robust).
+
 Other findings: staged fine-tuning beats the frozen pretrain baseline by
 ~1.5x; RAG retrieval adds +6.6% recall over the no-RAG ablation (LoRA
 off). Absolute numbers are not paper-comparable because the true
@@ -161,6 +170,10 @@ SWEEP = {
     "RAGraph-svdinit": (True, {"lora_init_scale": 1.0}),
     "RAGraph-noLoRA": (False, {}),
     "RAGraph-noise": (False, {"use_noise": True}),
+    # int8 MXU retrieval scoring (ops/topk score_dtype): LoRA-off so it
+    # is directly comparable to "RAGraph-noLoRA" — measures whether the
+    # quantized retrieval tier costs ranking quality at production scale.
+    "RAGraph-int8": (False, {"retrieve_dtype": "int8"}),
     "GraphPro": (None, {}),
     "RAGraph-rank4": (True, {"lora_rank": 4, "lora_init_scale": 1.0}),
     "RAGraph-rank64": (True, {"lora_rank": 64, "lora_init_scale": 1.0}),
