@@ -120,11 +120,16 @@ def main():
     res_emb = plain_layers(params)
     keys_n = l2_normalize(res_keys)
 
+    from ragraph_tpu.ops.selection import rowwise_kth_largest
+
     @jax.jit
     def chunk_mean(qc, kn, vals):
+        # same math as _fuse_rag's huge-k branch (incl. the bitwise
+        # binary-search k-th selection, 12.9x the lax.top_k sort at this
+        # shape — ops/selection.py)
         scores = jnp.dot(l2_normalize(qc).astype(kn.dtype), kn.T,
                          preferred_element_type=jnp.float32)
-        kth = jax.lax.top_k(scores, k)[0][:, -1:]
+        kth = rowwise_kth_largest(scores, k)
         member = (scores >= kth)
         count = member.sum(axis=1, keepdims=True)
         s = jnp.dot(member.astype(vals.dtype), vals,

