@@ -52,8 +52,11 @@ def build_parser():
     p.add_argument("--retrieve-dtype", choices=["input", "int8"],
                    default="input",
                    help="int8: double-rate MXU retrieval scoring "
-                        "(~2.2x at 262k rows, recall@10 0.92 raw / "
-                        "0.9875 with --retrieve-rescore-pad 22)")
+                        "(recall@10 0.92 raw / 0.9875 with "
+                        "--retrieve-rescore-pad 22; the matmul speedup "
+                        "is partly offset by per-call table quantization "
+                        "here — the full 2.2x needs a pre-quantized "
+                        "serving table, see docs/SERVING.md)")
     p.add_argument("--retrieve-rescore-pad", type=int, default=0,
                    help="with --retrieve-dtype int8: exact-rescore "
                         "k+PAD int8 candidates")
@@ -340,7 +343,11 @@ def run_eval(args):
 def main(argv=None):
     from ragraph_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.retrieve_rescore_pad and args.retrieve_dtype != "int8":
+        parser.error("--retrieve-rescore-pad requires --retrieve-dtype "
+                     "int8")  # fail fast, not at the first retrieve trace
     if args.mode == "pretrain":
         return run_pretrain(args)
     return run_eval(args)

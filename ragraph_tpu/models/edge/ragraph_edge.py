@@ -471,6 +471,15 @@ class TemporalLightGCN:
         from ragraph_tpu.ops.similarity import l2_normalize
         keys_n = l2_normalize(res_keys)
         big_k = k * e > _BIG_K_ELEMS
+        if cfg.retrieve_dtype == "int8" and not big_k:
+            # quantize the table ONCE, outside the per-chunk lax.map body
+            # — in-loop quantization is a full HBM pass per chunk unless
+            # XLA happens to hoist it (the "quantize-once" rule,
+            # ops/topk.quantize_keys_i8)
+            from ragraph_tpu.ops.topk import quantize_keys_i8
+            keys_q = quantize_keys_i8(keys_n, normalized=True)
+        else:
+            keys_q = keys_n
 
         def chunk_mean(qc):
             """(chunk, E) queries -> (mean of top-k values, count)."""
@@ -487,7 +496,7 @@ class TemporalLightGCN:
                 s = jnp.dot(member.astype(res_values.dtype), res_values,
                             preferred_element_type=jnp.float32)
                 return s / jnp.maximum(count, 1), count[:, 0]
-            _, idx = cosine_topk(qc, keys_n, k, keys_normalized=True,
+            _, idx = cosine_topk(qc, keys_q, k, keys_normalized=True,
                                  score_dtype=self.cfg.retrieve_dtype)
             vals = topk_gather(res_values, idx)              # (chunk, k, E)
             return vals.mean(axis=1), jnp.full((qc.shape[0],), k, jnp.int32)

@@ -28,7 +28,12 @@ def sharded_cosine_topk(mesh: Mesh, queries: jax.Array, keys: jax.Array,
                         axis_name: str = "idx", local_method: str = "auto",
                         recall_target: float = 0.99,
                         score_dtype: str = "input", rescore_pad: int = 0):
-    """Exact distributed cosine top-k.
+    """Distributed cosine top-k: per-shard local top-k + exact global
+    merge. The result is exact whenever the local method is
+    (``local_method="exact"/"bucket"``, or ``"auto"`` below 32k local
+    rows); with ``"approx"`` locals or the int8 tier the merge is still
+    exact over whatever candidates the shards produce — overall recall
+    equals the local method's.
 
     Args:
       queries: ``(Q, E)`` replicated.

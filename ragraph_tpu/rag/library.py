@@ -68,10 +68,14 @@ class LibraryConfig:
     structure_weight: float = 0.0
     semantic_weight: float = 0.999
     # int8 MXU scoring tier (``ops.topk.cosine_topk(score_dtype=...)``):
-    # ~1.5x retrieval throughput on v5e at a measured recall cost (0.9254
-    # recall@10 raw, 0.9875 with rescore_pad=22 at R=262k) — opt-in, and
-    # inert on the structure-weighted fewshot path (which scores outside
-    # cosine_topk).
+    # measured recall cost 0.9254 recall@10 raw / 0.9875 with
+    # rescore_pad=22 at R=262k — opt-in, and inert on the
+    # structure-weighted fewshot path (which scores outside cosine_topk).
+    # NOTE on speed: retrieve() passes the float store, so the table is
+    # quantized once per retrieve CALL (one extra HBM pass over the live
+    # keys — small at library scale, and rescore needs the float rows
+    # anyway). The full 2.2x is for serving loops that pre-quantize via
+    # ``ops.topk.quantize_keys_i8`` and call cosine_topk directly.
     retrieve_dtype: str = "input"     # "input" | "int8"
     retrieve_rescore_pad: int = 0
 
