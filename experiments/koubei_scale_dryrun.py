@@ -125,7 +125,7 @@ def main():
     @jax.jit
     def chunk_mean(qc, kn, vals):
         # same math as _fuse_rag's huge-k branch (incl. the bitwise
-        # binary-search k-th selection, 12.9x the lax.top_k sort at this
+        # radix-4 k-th selection, 18.9x the lax.top_k sort at this
         # shape — ops/selection.py)
         scores = jnp.dot(l2_normalize(qc).astype(kn.dtype), kn.T,
                          preferred_element_type=jnp.float32)

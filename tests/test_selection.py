@@ -31,6 +31,33 @@ def test_ties_and_negatives():
                                       np.asarray(x >= ref))
 
 
+def test_randomized_sweep():
+    """Randomized shapes/k (incl. bf16 inputs and constant rows) — the
+    radix-4 search must match the sort everywhere."""
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        q = int(rng.integers(1, 9))
+        r = int(rng.integers(1, 400))
+        k = int(rng.integers(1, r + 1))
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            x = rng.normal(size=(q, r)) * 10.0 ** float(rng.integers(-3, 4))
+        elif mode == 1:
+            x = rng.integers(-3, 3, size=(q, r)).astype(np.float64)
+        else:
+            x = np.full((q, r), float(rng.normal()))
+        xj = jnp.asarray(x.astype(np.float32))
+        ref = jax.lax.top_k(xj, k)[0][:, -1:]
+        got = rowwise_kth_largest(xj, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"q={q} r={r} k={k} m={mode}")
+        # bf16 input path (astype f32 inside)
+        got16 = rowwise_kth_largest(xj.astype(jnp.bfloat16), k)
+        ref16 = jax.lax.top_k(xj.astype(jnp.bfloat16).astype(jnp.float32),
+                              k)[0][:, -1:]
+        np.testing.assert_array_equal(np.asarray(got16), np.asarray(ref16))
+
+
 def test_infinities_and_clamping():
     x = jnp.asarray([[1.0, -jnp.inf, 3.0, jnp.inf],
                      [-1.0, -2.0, -3.0, -4.0]], jnp.float32)
