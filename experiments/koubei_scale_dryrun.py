@@ -18,10 +18,14 @@ score-threshold membership matmul for huge k (see the docstring there).
 Records wall time + device memory stats into
 ``results/koubei_scale_dryrun.json`` and a SCALING.md line.
 
-Usage: python experiments/koubei_scale_dryrun.py [scale]  (real TPU)
-``scale`` (default 1) multiplies users/items/interactions — ``2`` runs
-the same vanilla config at twice the largest published dataset to
-record single-chip headroom (results suffix ``_2x``).
+Usage: python experiments/koubei_scale_dryrun.py [scale] [chunk]
+(real TPU). ``scale`` (default 1) multiplies users/items/interactions —
+``2`` runs the same vanilla config at twice the largest published
+dataset to record single-chip headroom (results suffix ``_2x``).
+``chunk`` (default 256) sets rag_chunk — the config's own 512 faulted
+the chip when the per-chunk program still contained the
+``top_k(·, 100000)`` sort workspace; with the radix k-th selection the
+512-chunk program is just the (chunk, R) scores + two matmuls.
 """
 
 import json
@@ -33,6 +37,7 @@ import numpy as np
 
 SAVE = "results"
 SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 U, I = int(119_958 * SCALE), int(101_404 * SCALE)  # koubei published x scale
 M = int(1_500_000 * SCALE)
 
@@ -67,12 +72,13 @@ def main():
                         edge_times=jnp.asarray(times),
                         num_users=U, num_items=I,
                         recv_indptr=jnp.asarray(indptr))
-    # rag_chunk=256, not the config's 512: at k=100000 over a 442k-row
-    # library a 512-query chunk peaks ~1.4 GB ((chunk, R) f32 scores +
-    # (chunk, k) top-k workspace) inside the lax.map step and the chip
-    # faults; 256 halves it and runs (measured below)
+    # rag_chunk default 256, not the config's 512: at k=100000 over a
+    # 442k-row library a 512-query chunk peaked ~1.4 GB ((chunk, R) f32
+    # scores + (chunk, k) top-k workspace) inside the lax.map step and
+    # the chip faulted. The radix k-th selection removed the sort
+    # workspace; pass chunk=512 to measure the config-native shape.
     cfg = edge_config_for("koubei", "vanilla", emb_size=64, num_layers=3,
-                          rag_chunk=256)
+                          rag_chunk=CHUNK)
     print(f"koubei vanilla config: retrieve_num={cfg.retrieve_num} "
           f"rag_chunk={cfg.rag_chunk} "
           f"num_augment_scale={cfg.num_augment_scale}")
@@ -125,7 +131,7 @@ def main():
     @jax.jit
     def chunk_mean(qc, kn, vals):
         # same math as _fuse_rag's huge-k branch (incl. the bitwise
-        # radix-4 k-th selection, 18.9x the lax.top_k sort at this
+        # radix-8 k-th selection, 23.9x the lax.top_k sort at this
         # shape — ops/selection.py)
         scores = jnp.dot(l2_normalize(qc).astype(kn.dtype), kn.T,
                          preferred_element_type=jnp.float32)
@@ -194,6 +200,8 @@ def main():
     }
     os.makedirs(SAVE, exist_ok=True)
     suffix = "" if SCALE == 1.0 else f"_{SCALE:g}x"
+    if CHUNK != 256:
+        suffix += f"_chunk{CHUNK}"
     with open(os.path.join(SAVE,
                            f"koubei_scale_dryrun{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -33,7 +33,7 @@ def test_ties_and_negatives():
 
 def test_randomized_sweep():
     """Randomized shapes/k (incl. bf16 inputs and constant rows) — the
-    radix-4 search must match the sort everywhere."""
+    radix search must match the sort everywhere."""
     rng = np.random.default_rng(42)
     for _ in range(20):
         q = int(rng.integers(1, 9))
