@@ -24,6 +24,8 @@ Prints ONE JSON line:
    "exact_vs_approx": ..., "int8_retrieval_qps": ..., "int8_recall": ...,
    "edge_step_ms": ..., "edge_step_bw_util": ...,
    "library_build_gps": ..., "node_step_ms": ...,
+   "selection_kth_ms": ..., "selection_vs_sort": ...,
+   "serving_users_per_s": ...,
    "probe_tflops": ..., "probe_tflops_post": ..., "degraded": bool}
 """
 
@@ -502,6 +504,93 @@ def bench_node_step(roundtrip):
     return max((min(tl) - min(ts)) / (3 * NODE_ITERS), 1e-9)
 
 
+def bench_selection(roundtrip):
+    """Exact k-th-largest selection (``ops/selection.rowwise_kth_largest``
+    — the huge-k RAG fusion's membership threshold, replacing the
+    reference's chunked ``torch.topk`` at ``retrieve_num=100000`` scale,
+    ``RAGraph_edge/modules/RAGraph.py:298-324``) at the koubei chunk
+    shape (256, 442368), k=100000, plus the ``lax.top_k`` near-full sort
+    it replaces. Returns (selection ms, sort ms). Data is generated on
+    device — a (256, 442k) f32 host upload has no place in a bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.ops.selection import rowwise_kth_largest
+
+    qs, rs, ks = 256, 442_368, 100_000
+    x = jax.random.normal(jax.random.key(5), (qs, rs), jnp.float32)
+
+    def timed_chain(select_fn, iters, reps):
+        @jax.jit
+        def chain(x):
+            def body(_, c):
+                xx, acc = c
+                kth = select_fn(xx)
+                return xx + 1e-6 * kth, acc + kth[0, 0]
+            return jax.lax.fori_loop(0, iters, body,
+                                     (x, jnp.float32(0)))[1]
+
+        float(chain(x))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(x))
+            ts.append(time.perf_counter() - t0)
+        return max((min(ts) - roundtrip) / iters, 1e-9) * 1e3
+
+    sel_ms = timed_chain(lambda xx: rowwise_kth_largest(xx, ks), 20, 3)
+    sort_ms = timed_chain(lambda xx: jax.lax.top_k(xx, ks)[0][:, -1:],
+                          3, 2)
+    return sel_ms, sort_ms
+
+
+def bench_serving(roundtrip):
+    """Serving hot path (``RAGraphEdge.recommend_from``: per-request user
+    gather -> score matmul -> history filter -> top-20 from PRECOMPUTED
+    embeddings; the reference's serving is a bare ``U @ I^T`` inside eval,
+    ``RAGraph_edge/modules/RAGraph.py:362``) at B=4096 users over 131k
+    items via the fused hist_pad candidate path — the deployment shape of
+    ``benchmarks/bench_serving.py``, which holds the full latency table.
+    Returns users/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from ragraph_tpu.models.edge.ragraph_edge import TemporalLightGCN
+
+    nu = ni = 1 << 17
+    d, b = 64, 4096
+    ku, ki, kq, kh = jax.random.split(jax.random.key(11), 4)
+    ue = jax.random.normal(ku, (nu, d), jnp.float32) * 0.1
+    ie = jax.random.normal(ki, (ni, d), jnp.float32) * 0.1
+    users0 = jax.random.randint(kq, (b,), 0, nu, jnp.int32)
+    hist_rows = jax.random.randint(kh, (32,), 0, b, jnp.int32)
+    hist_cols = jax.random.randint(jax.random.fold_in(kh, 1), (32,), 0,
+                                   ni, jnp.int32)
+    iters = 30
+
+    @jax.jit
+    def chain(ue, ie, users):
+        def body(_, carry):
+            us, acc = carry
+            s, idx = TemporalLightGCN.recommend_from(
+                ue, ie, us, k=20, hist_rows=hist_rows,
+                hist_cols=hist_cols, hist_pad=64, recall_target=0.95)
+            # next request's users derive from this result (no DCE)
+            us = (us + idx[:, 0].astype(jnp.int32)) % nu
+            return us, acc + s[0, 0]
+        return jax.lax.fori_loop(0, iters, body,
+                                 (users, jnp.float32(0)))[1]
+
+    float(chain(ue, ie, users0))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(ue, ie, users0))
+        ts.append(time.perf_counter() - t0)
+    dt = max((min(ts) - roundtrip) / iters, 1e-9)
+    return b / dt
+
+
 def bench_torch_cpu():
     import torch
     torch.manual_seed(0)
@@ -539,6 +628,8 @@ def main():
     # the edge step is gather-bound, HBM bandwidth is its ceiling
     lib_gps = bench_library_build()
     node_dt = bench_node_step(roundtrip)
+    sel_ms, sort_ms = bench_selection(roundtrip)
+    serving_ups = bench_serving(roundtrip)
     cpu_qps = bench_torch_cpu()
     speedup = tpu_qps / cpu_qps
 
@@ -567,6 +658,9 @@ def main():
           f"({(edge_bytes_s or 0)/1e9:.0f} GB/s = {edge_bwu} of peak HBM "
           f"bw); library build {lib_gps:,.0f} graphs/s; "
           f"node step {node_dt*1e3:.2f} ms; "
+          f"k-th selection {sel_ms:.2f} ms vs sort {sort_ms:.1f} ms "
+          f"({sort_ms/sel_ms:.1f}x); "
+          f"serving {serving_ups:,.0f} users/s; "
           f"torch-CPU {cpu_qps:,.0f} q/s", file=sys.stderr)
     print(json.dumps({
         "metric": "retrieval_qps",
@@ -582,6 +676,9 @@ def main():
         "edge_step_bw_util": edge_bwu,
         "library_build_gps": round(lib_gps, 1),
         "node_step_ms": round(node_dt * 1e3, 3),
+        "selection_kth_ms": round(sel_ms, 3),
+        "selection_vs_sort": round(sort_ms / sel_ms, 1),
+        "serving_users_per_s": round(serving_ups, 1),
         "probe_tflops": round(probe_tf, 1),
         "probe_tflops_post": round(probe_tf_post, 1),
         "degraded": degraded,
