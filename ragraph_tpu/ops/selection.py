@@ -30,6 +30,21 @@ import jax
 import jax.numpy as jnp
 
 
+def f32_to_ordered_key(x: jax.Array) -> jax.Array:
+    """Map f32 to order-preserving uint32 keys (see module docstring).
+    Exposed for the distributed selection (``parallel/sharded_selection``),
+    which runs the same radix search with psum'd counts."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jnp.where((u >> 31) != 0, ~u, u | jnp.uint32(0x80000000))
+
+
+def ordered_key_to_f32(lo: jax.Array) -> jax.Array:
+    """Inverse of :func:`f32_to_ordered_key`."""
+    back = jnp.where(lo >= jnp.uint32(0x80000000),
+                     lo & jnp.uint32(0x7FFFFFFF), ~lo)
+    return jax.lax.bitcast_convert_type(back, jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def rowwise_kth_largest(x: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest value of each row of ``x (Q, R)`` as ``(Q, 1)``.
@@ -42,8 +57,7 @@ def rowwise_kth_largest(x: jax.Array, k: int) -> jax.Array:
     """
     q_len, r_len = x.shape
     k = max(1, min(k, r_len))
-    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    key = jnp.where((u >> 31) != 0, ~u, u | jnp.uint32(0x80000000))
+    key = f32_to_ordered_key(x)
 
     def step(lo, shift, width):
         # radix-2^width: resolve `width` bits per pass. All 2^width - 1
@@ -70,6 +84,4 @@ def rowwise_kth_largest(x: jax.Array, k: int) -> jax.Array:
         return step(lo, shift, 3)
 
     lo = jax.lax.fori_loop(0, 10, body, lo)
-    back = jnp.where(lo >= jnp.uint32(0x80000000),
-                     lo & jnp.uint32(0x7FFFFFFF), ~lo)
-    return jax.lax.bitcast_convert_type(back, jnp.float32)
+    return ordered_key_to_f32(lo)

@@ -11,3 +11,5 @@ from ragraph_tpu.parallel.sharded_library import (  # noqa: F401
 from ragraph_tpu.parallel.edge_sharded import (  # noqa: F401
     ShardedEdges, shard_edges_by_receiver, sharded_lightgcn_propagate,
     sharded_propagate_per_step)
+from ragraph_tpu.parallel.sharded_selection import (  # noqa: F401
+    kth_largest_psum, sharded_huge_k_fuse, sharded_kth_largest)
