@@ -481,9 +481,24 @@ class TemporalLightGCN:
         else:
             keys_q = keys_n
 
+        # multi-chip: route the huge-k branch through the idx-sharded
+        # fusion (psum'd radix threshold, bitwise-equal; the (chunk, R)
+        # scores exist only as per-device (chunk, R/D) shards) whenever a
+        # >1 idx mesh is set and the library row count divides the axis —
+        # the sharded resource build produces divisible capacities.
+        shard_fuse = (big_k and self.mesh is not None
+                      and "idx" in self.mesh.axis_names
+                      and self.mesh.shape["idx"] > 1
+                      and res_keys.shape[0] % self.mesh.shape["idx"] == 0)
+
         def chunk_mean(qc):
             """(chunk, E) queries -> (mean of top-k values, count)."""
             if big_k:
+                if shard_fuse:
+                    from ragraph_tpu.parallel.sharded_selection import (
+                        sharded_huge_k_fuse)
+                    return sharded_huge_k_fuse(self.mesh, qc, keys_n,
+                                               res_values, k)
                 scores = jnp.dot(l2_normalize(qc).astype(keys_n.dtype),
                                  keys_n.T,
                                  preferred_element_type=jnp.float32)

@@ -111,6 +111,66 @@ class TestShardedHugeKFuse:
                                    np.asarray(ref_mean), rtol=2e-6,
                                    atol=2e-6)
 
+    def test_fuse_rag_big_k_routes_through_sharded_fuse(self, mesh8,
+                                                        monkeypatch):
+        """`RAGraphEdge._fuse_rag`'s huge-k branch must take the
+        idx-sharded fusion when the model carries a >1-idx mesh and the
+        library rows divide the axis — and produce the same fused
+        embeddings as the meshless model."""
+        from ragraph_tpu.data.edgelist import load_edge_dataset
+        from ragraph_tpu.data.synthetic import synthetic_edge_stream
+        from ragraph_tpu.models.edge import (EdgeGraphArrays,
+                                             EdgeModelConfig, RAGraphEdge)
+        from ragraph_tpu.models.edge import ragraph_edge as re_mod
+        from ragraph_tpu.parallel import sharded_selection as ss_mod
+
+        train, stages = synthetic_edge_stream(seed=0, num_users=16,
+                                              num_items=32, num_stages=1,
+                                              interactions_per_user=4)
+        ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]],
+                               num_users=16, num_items=32)
+        g = EdgeGraphArrays.from_dataset(ds)
+        e, k = 16, 8
+        monkeypatch.setattr(re_mod, "_BIG_K_ELEMS", k * e - 1)
+        calls = {"n": 0}
+        real = ss_mod.sharded_huge_k_fuse
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ss_mod, "sharded_huge_k_fuse", spy)
+
+        rng = np.random.default_rng(6)
+        res_keys = jnp.asarray(rng.normal(size=(64, e)), jnp.float32)
+        res_vals = jnp.asarray(rng.normal(size=(64, e)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(11, e)), jnp.float32)
+        res_emb = jnp.zeros((11, e))
+        cfg = EdgeModelConfig(emb_size=e, num_layers=2, retrieve_num=k,
+                              rag_chunk=4, retrieve_weight=1.0)
+
+        plain = RAGraphEdge(cfg, g, phase="vanilla")
+        out_plain = np.asarray(plain._fuse_rag(
+            q, res_emb, None, False, resources=(res_keys, res_vals)))
+        assert calls["n"] == 0
+
+        meshed = RAGraphEdge(cfg, g, phase="vanilla", mesh=mesh8)
+        out_mesh = np.asarray(meshed._fuse_rag(
+            q, res_emb, None, False, resources=(res_keys, res_vals)))
+        assert calls["n"] > 0, "mesh model did not take the sharded fusion"
+        np.testing.assert_allclose(out_mesh, out_plain, rtol=2e-6,
+                                   atol=2e-6)
+
+        # non-dividing library rows (65 % 8 != 0) must fall back cleanly
+        calls["n"] = 0
+        out_odd = np.asarray(meshed._fuse_rag(
+            q, jnp.zeros((11, e)), None, False,
+            resources=(jnp.pad(res_keys, ((0, 1), (0, 0)),
+                               constant_values=1.0),
+                       jnp.pad(res_vals, ((0, 1), (0, 0))))))
+        assert calls["n"] == 0
+        assert np.isfinite(out_odd).all()
+
     def test_fewer_valid_than_k(self, mesh8):
         # k > valid rows: threshold bottoms out, mean = mean of all valid
         rng = np.random.default_rng(5)
