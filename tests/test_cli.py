@@ -317,6 +317,42 @@ def test_edge_mesh_cli(workdir):
     assert all(np.isfinite(result.recalls))
 
 
+def test_edge_mesh_cli_vanilla_huge_k(workdir, monkeypatch):
+    """vanilla --mesh with the huge-k branch forced: the CLI path must
+    reach the idx-sharded fusion (psum'd radix threshold,
+    parallel/sharded_selection.py — SYNTH's 192 nodes make the resource
+    rows divisible by idx=4, so the dispatch engages) and produce
+    finite metrics."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ragraph_tpu.models.edge import ragraph_edge as re_mod
+    from ragraph_tpu.parallel import sharded_selection as ss_mod
+
+    # force every retrieval into the huge-k threshold branch, and spy on
+    # the sharded fusion to prove the CLI actually routed through it
+    monkeypatch.setattr(re_mod, "_BIG_K_ELEMS", 0)
+    calls = {"n": 0}
+    real = ss_mod.sharded_huge_k_fuse
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ss_mod, "sharded_huge_k_fuse", spy)
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "2", "--batch-size", "128",
+                   "--mesh", "dp=2,idx=4",
+                   "--save-dir", str(workdir / "s")])
+    recalls, ndcgs = edge_cli.main(
+        ["vanilla", "--data-path", "SYNTH", "--emb-size", "8",
+         "--mesh", "dp=2,idx=4",
+         "--save-dir", str(workdir / "s")])
+    assert len(recalls) == 4
+    assert all(np.isfinite(recalls))
+    assert calls["n"] > 0, "vanilla --mesh never took the sharded fusion"
+
+
 def test_edge_mesh_cli_rejects_plugin_idx_sharding(workdir):
     import jax
     if len(jax.devices()) < 8:
