@@ -18,7 +18,7 @@ score-threshold membership matmul for huge k (see the docstring there).
 Records wall time + device memory stats into
 ``results/koubei_scale_dryrun.json`` and a SCALING.md line.
 
-Usage: python experiments/koubei_scale_dryrun.py [scale] [chunk]
+Usage: python experiments/koubei_scale_dryrun.py [scale] [chunk] [seldt]
 (real TPU). ``scale`` (default 1) multiplies users/items/interactions —
 ``2`` runs the same vanilla config at twice the largest published
 dataset to record single-chip headroom (results suffix ``_2x``).
@@ -26,6 +26,8 @@ dataset to record single-chip headroom (results suffix ``_2x``).
 the chip when the per-chunk program still contained the
 ``top_k(·, 100000)`` sort workspace; with the radix k-th selection the
 512-chunk program is just the (chunk, R) scores + two matmuls.
+``seldt`` (default f32) sets ``selection_dtype`` — ``bf16`` engages the
+half-width selection tier (results suffix ``_bf16``).
 """
 
 import json
@@ -38,6 +40,7 @@ import numpy as np
 SAVE = "results"
 SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+SELDT = sys.argv[3] if len(sys.argv) > 3 else "f32"
 U, I = int(119_958 * SCALE), int(101_404 * SCALE)  # koubei published x scale
 M = int(1_500_000 * SCALE)
 
@@ -125,6 +128,11 @@ def main():
 
     res_emb = plain_layers(params)
     keys_n = l2_normalize(res_keys)
+    if SELDT == "bf16":
+        # bf16 selection tier (EdgeModelConfig.selection_dtype="bf16"):
+        # bf16 scores + native 16-bit radix search — 6 half-width passes
+        # instead of 11 full-width
+        keys_n = keys_n.astype(jnp.bfloat16)
 
     from ragraph_tpu.ops.selection import rowwise_kth_largest
 
@@ -134,7 +142,9 @@ def main():
         # radix-8 k-th selection, 23.9x the lax.top_k sort at this
         # shape — ops/selection.py)
         scores = jnp.dot(l2_normalize(qc).astype(kn.dtype), kn.T,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=(
+                             jnp.bfloat16 if SELDT == "bf16"
+                             else jnp.float32))
         kth = rowwise_kth_largest(scores, k)
         member = (scores >= kth)
         count = member.sum(axis=1, keepdims=True)
@@ -187,6 +197,7 @@ def main():
     out = {
         "num_users": U, "num_items": I, "interactions": M,
         "retrieve_num": cfg.retrieve_num, "rag_chunk": cfg.rag_chunk,
+        "selection_dtype": SELDT,
         "resource_rows": res_rows,
         "generate_plain_s": round(t_gen0, 2),
         "resource_build_s": round(t_lib, 2),
@@ -202,6 +213,8 @@ def main():
     suffix = "" if SCALE == 1.0 else f"_{SCALE:g}x"
     if CHUNK != 256:
         suffix += f"_chunk{CHUNK}"
+    if SELDT != "f32":
+        suffix += f"_{SELDT}"
     with open(os.path.join(SAVE,
                            f"koubei_scale_dryrun{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -140,6 +140,19 @@ def main():
     best = min(rows, key=lambda r: r[1])
     print(f"best: {best[0]} at {best[1]:.2f} ms")
 
+    # bf16 selection tier (EdgeModelConfig.selection_dtype="bf16"):
+    # native 16-bit keys -> 6 half-width passes. Exact on the bf16
+    # multiset (verified vs the sort); the caller's approximation is
+    # rounding scores to bf16 before selecting.
+    x_b = x.astype(jnp.bfloat16)
+    got_b = kth_radix8_prod(x_b, K)
+    ref_b = jax.lax.top_k(x_b.astype(jnp.float32), K)[0][:, -1:]
+    np.testing.assert_array_equal(
+        np.asarray(got_b.astype(jnp.float32)), np.asarray(ref_b),
+        err_msg="bf16 tier")
+    dt_b = timeit(kth_radix8_prod, x_b, K)
+    print(f"radix8-bf16 {dt_b:7.2f} ms ({best[1]/dt_b:.2f}x vs f32 best)")
+
 
 if __name__ == "__main__":
     main()

@@ -42,6 +42,11 @@ def build_parser():
                    default="input",
                    help="int8: double-rate MXU scoring for the RAG "
                         "retrieval (see EdgeModelConfig.retrieve_dtype)")
+    p.add_argument("--selection-dtype", choices=["f32", "bf16"],
+                   default="f32",
+                   help="bf16: half-width radix k-th selection for the "
+                        "huge-k vanilla fusion, ~1.5x end-to-end (see "
+                        "EdgeModelConfig.selection_dtype)")
     p.add_argument("--lora", default="off", choices=["off", "zero", "svd"],
                    help="LoRA adapters on the RAGraph finetune tables: "
                         "off (default — beats both LoRA variants on real "
@@ -180,6 +185,7 @@ def _cfg(args, phase, dataset_name, num_nodes=None):
         use_lora=lora != "off",
         lora_init_scale=1.0 if lora == "svd" else 0.0,
         retrieve_dtype=getattr(args, "retrieve_dtype", "input"),
+        selection_dtype=getattr(args, "selection_dtype", "f32"),
         batch_size=args.batch_size)
 
 

@@ -98,6 +98,15 @@ class EdgeModelConfig:
     # the input dtype (its k-th-score threshold needs the same precision
     # as the membership test).
     retrieve_dtype: str = "input"
+    # Huge-k threshold-branch selection tier (ops.selection): "f32"
+    # (default) keeps the exact f32 k-th-score threshold — bitwise-equal
+    # membership to the reference's torch.topk; "bf16" scores the chunk
+    # in bf16 and radix-searches 16-bit keys (6 half-width passes vs 11
+    # full-width: 1.76x the selection, ~1.5x the whole fusion measured
+    # at koubei scale; membership admits the bf16 ties at the threshold,
+    # a ~1e-3 relative perturbation of a mean over k=100k rows). Only
+    # the big_k branch reads this knob.
+    selection_dtype: str = "f32"
     # plugin knobs (``parse_args.py:49-63``)
     temp: float = 0.2        # SGL InfoNCE temperature
     lbd: float = 0.1         # CL loss weight (SGL 0.1 / SimGCL 0.5)

@@ -471,6 +471,13 @@ class TemporalLightGCN:
         from ragraph_tpu.ops.similarity import l2_normalize
         keys_n = l2_normalize(res_keys)
         big_k = k * e > _BIG_K_ELEMS
+        sel_bf16 = big_k and cfg.selection_dtype == "bf16"
+        if sel_bf16:
+            # bf16 selection tier: score the chunk in bf16 and radix-
+            # search 16-bit keys (6 half-width passes vs 11 full-width,
+            # ~3x — ops/selection.py). Cast the table ONCE outside the
+            # lax.map body (the quantize-once rule).
+            keys_n = keys_n.astype(jnp.bfloat16)
         if cfg.retrieve_dtype == "int8" and not big_k:
             # quantize the table ONCE, outside the per-chunk lax.map body
             # — in-loop quantization is a full HBM pass per chunk unless
@@ -501,10 +508,13 @@ class TemporalLightGCN:
                                                res_values, k)
                 scores = jnp.dot(l2_normalize(qc).astype(keys_n.dtype),
                                  keys_n.T,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=(
+                                     jnp.bfloat16 if sel_bf16
+                                     else jnp.float32))
                 # exact k-th value by radix-8 bitwise search — 23.9x the
                 # lax.top_k near-full sort at k=100k on a (256, 442k)
-                # chunk (10.7 vs 256.3 ms, v5e), same value under ties
+                # chunk (10.7 vs 256.3 ms, v5e), same value under ties;
+                # bf16 scores take the native 16-bit search (~3x again)
                 kth = rowwise_kth_largest(scores, k)
                 member = (scores >= kth)                     # (chunk, R)
                 count = member.sum(axis=1, keepdims=True)

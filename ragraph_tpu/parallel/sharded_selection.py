@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ragraph_tpu.ops.selection import (f32_to_ordered_key,
+from ragraph_tpu.ops.selection import (bf16_to_ordered_key,
+                                       f32_to_ordered_key,
+                                       ordered_key_to_bf16,
                                        ordered_key_to_f32)
 from ragraph_tpu.ops.similarity import l2_normalize
 
@@ -44,7 +46,9 @@ def kth_largest_psum(x_local: jax.Array, k: int, axis_name: str,
     For use inside an existing ``shard_map``: ``x_local (Q, R_local)`` is
     this device's column shard of a global ``(Q, R_global)`` matrix.
     Returns the replicated ``(Q, 1)`` global k-th largest value —
-    bitwise-equal to ``rowwise_kth_largest`` on the concatenated matrix.
+    bitwise-equal to ``rowwise_kth_largest`` on the concatenated matrix
+    (a ``bfloat16`` shard runs the native 16-bit search, 6 passes/psums
+    instead of 11, matching the single-device bf16 tier).
 
     Same radix-8 search as the single-device op; the only distributed
     part is the rank count, an integer psum per pass (the seven
@@ -52,10 +56,13 @@ def kth_largest_psum(x_local: jax.Array, k: int, axis_name: str,
     """
     q_len = x_local.shape[0]
     k = max(1, min(k, r_global))
-    key = f32_to_ordered_key(x_local)
+    bf16 = x_local.dtype == jnp.bfloat16
+    key = (bf16_to_ordered_key(x_local) if bf16
+           else f32_to_ordered_key(x_local))
+    utype = key.dtype
 
     def step(lo, shift, width):
-        cands = [lo | (jnp.uint32(j) << shift)
+        cands = [lo | (utype.type(j) << shift)
                  for j in range(1, 2 ** width)]
         # one fused compare+count stream per shard, ONE psum per pass
         cnt_local = jnp.stack(
@@ -66,11 +73,22 @@ def kth_largest_psum(x_local: jax.Array, k: int, axis_name: str,
             best = jnp.where(cnt[:, j:j + 1] >= k, c, best)
         return best
 
-    lo = jnp.zeros((q_len, 1), jnp.uint32)
-    lo = step(lo, jnp.uint32(30), 2)  # bits 31..30
+    lo = jnp.zeros((q_len, 1), utype)
+    if bf16:
+        lo = step(lo, utype.type(14), 2)  # bits 15..14
+
+        def body(i, lo):
+            shift = utype.type(11) - utype.type(3) * i.astype(utype)
+            return step(lo, shift, 3)
+
+        lo = jax.lax.fori_loop(0, 4, body, lo)   # bits 13..2
+        lo = step(lo, utype.type(0), 2)          # bits 1..0
+        return ordered_key_to_bf16(lo)
+
+    lo = step(lo, utype.type(30), 2)  # bits 31..30
 
     def body(i, lo):
-        shift = jnp.uint32(27) - 3 * i.astype(jnp.uint32)
+        shift = utype.type(27) - utype.type(3) * i.astype(utype)
         return step(lo, shift, 3)
 
     lo = jax.lax.fori_loop(0, 10, body, lo)
@@ -127,8 +145,12 @@ def sharded_huge_k_fuse(mesh: Mesh, queries: jax.Array, keys_n: jax.Array,
 
     def local(q, kl, vl, vm):
         qn = l2_normalize(q).astype(kl.dtype)
+        # a bf16 key table selects the bf16 selection tier end-to-end:
+        # bf16 scores -> 16-bit radix search (6 psums instead of 11)
+        sel_dtype = (jnp.bfloat16 if kl.dtype == jnp.bfloat16
+                     else jnp.float32)
         scores = jnp.dot(qn, kl.T,
-                         preferred_element_type=jnp.float32)  # (Q, R/D)
+                         preferred_element_type=sel_dtype)    # (Q, R/D)
         scores = jnp.where(vm[None, :], scores, -jnp.inf)
         kth = kth_largest_psum(scores, k, axis_name, r_global)
         member = (scores >= kth) & vm[None, :]

@@ -213,6 +213,52 @@ class TestModels:
             np.testing.assert_allclose(outs[label], expect, atol=1e-5)
         np.testing.assert_allclose(outs["big"], outs["small"], atol=1e-5)
 
+    def test_fuse_rag_bf16_selection_tier(self, dataset, monkeypatch):
+        """`selection_dtype="bf16"` on the huge-k branch: membership is
+        exactly `bf16_scores >= bf16 k-th` (ties widen, never shrink the
+        set) and the fused mean tracks the f32 tier closely."""
+        from ragraph_tpu.models.edge import ragraph_edge as re_mod
+        g = EdgeGraphArrays.from_dataset(dataset)
+        rng = np.random.default_rng(9)
+        res_n, e, k = 64, 16, 8
+        res_keys = jnp.asarray(rng.normal(size=(res_n, e)), jnp.float32)
+        res_vals = jnp.asarray(rng.normal(size=(res_n, e)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(11, e)), jnp.float32)
+        res_emb = jnp.zeros((11, e))
+        monkeypatch.setattr(re_mod, "_BIG_K_ELEMS", k * e - 1)
+
+        outs = {}
+        for sel in ("f32", "bf16"):
+            cfg = _small_cfg(retrieve_num=k, rag_chunk=4,
+                             retrieve_weight=1.0, selection_dtype=sel)
+            m = RAGraphEdge(cfg, g, phase="vanilla")
+            outs[sel] = np.asarray(
+                m._fuse_rag(q, res_emb, None, False,
+                            resources=(res_keys, res_vals)))
+        # explicit bf16 twin: bf16 scores, bf16 k-th, membership mean
+        qn = (q / jnp.linalg.norm(q, axis=1, keepdims=True)
+              ).astype(jnp.bfloat16)
+        kn = (res_keys / jnp.linalg.norm(res_keys, axis=1, keepdims=True)
+              ).astype(jnp.bfloat16)
+        scores = jnp.dot(qn, kn.T, preferred_element_type=jnp.bfloat16)
+        from ragraph_tpu.ops.selection import rowwise_kth_largest
+        kth = rowwise_kth_largest(scores, k)
+        member = np.asarray(scores >= kth)
+        assert (member.sum(axis=1) >= k).all()
+        expect = (member[:, :, None] * np.asarray(res_vals)[None]
+                  ).sum(axis=1) / member.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(outs["bf16"], expect, atol=1e-5)
+        # and the tier approximates the f32 branch: the bf16 member set
+        # must cover the exact f32 top-k except for boundary swaps
+        # within one bf16 ulp of the threshold (at toy scale k=8 a
+        # single swap moves the mean visibly, so assert on SETS, not
+        # values; the production claim is a mean over k=100k rows)
+        qn32 = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        kn32 = res_keys / jnp.linalg.norm(res_keys, axis=1, keepdims=True)
+        _, idx32 = jax.lax.top_k(qn32 @ kn32.T, k)
+        covered = np.take_along_axis(member, np.asarray(idx32), axis=1)
+        assert covered.sum(axis=1).min() >= k - 2
+
     def test_resource_graph_augment_and_sampling(self, dataset):
         g = EdgeGraphArrays.from_dataset(dataset)
         cfg = _small_cfg(num_augment_scale=2, num_inverse_sample=20)

@@ -58,6 +58,38 @@ def test_randomized_sweep():
         np.testing.assert_array_equal(np.asarray(got16), np.asarray(ref16))
 
 
+@pytest.mark.parametrize("k", [1, 13, 128, 300])
+def test_bf16_native_matches_sort(k):
+    """A bf16 input runs the native 16-bit search and must return the
+    exact bf16 k-th order statistic (= the f32 sort over the bf16
+    values), in bf16, with tie membership matching the sort's."""
+    rng = np.random.default_rng(k)
+    x = jnp.asarray(rng.normal(size=(16, 300)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    got = rowwise_kth_largest(x, k)
+    assert got.dtype == jnp.bfloat16
+    ref = jax.lax.top_k(x.astype(jnp.float32), k)[0][:, -1:]
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(x >= got), np.asarray(x.astype(jnp.float32) >= ref))
+
+
+def test_bf16_heavy_ties_and_infs():
+    rng = np.random.default_rng(3)
+    # coarse quantization -> many exact bf16 ties at every threshold
+    x = jnp.asarray(np.round(rng.normal(size=(8, 128)) * 2) / 2
+                    ).astype(jnp.bfloat16)
+    for k in (1, 64, 128):
+        ref = jax.lax.top_k(x.astype(jnp.float32), k)[0][:, -1:]
+        got = rowwise_kth_largest(x, k)
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)), np.asarray(ref))
+    x = jnp.asarray([[1.0, -np.inf, 3.0, np.inf]]).astype(jnp.bfloat16)
+    assert float(rowwise_kth_largest(x, 2)[0, 0]) == 3.0
+    assert float(rowwise_kth_largest(x, 99)[0, 0]) == -np.inf
+
+
 def test_infinities_and_clamping():
     x = jnp.asarray([[1.0, -jnp.inf, 3.0, jnp.inf],
                      [-1.0, -2.0, -3.0, -4.0]], jnp.float32)

@@ -48,6 +48,21 @@ class TestShardedKth:
             got = sharded_kth_largest(mesh8, _shard_cols(mesh8, x), k)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_bf16_tier_bitwise_equal(self, mesh8):
+        # a bf16 shard runs the native 16-bit search (6 psums); the
+        # global threshold must still be bitwise the single-device bf16
+        # op's
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        for k in (1, 37, 500):
+            ref = rowwise_kth_largest(x, k)
+            got = sharded_kth_largest(mesh8, _shard_cols(mesh8, x), k)
+            assert got.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(
+                np.asarray(got.astype(jnp.float32)),
+                np.asarray(ref.astype(jnp.float32)))
+
     def test_k_clamped_to_global_rows(self, mesh8):
         # k > R must clamp against the GLOBAL row count, not the shard's
         rng = np.random.default_rng(2)
@@ -82,6 +97,35 @@ class TestShardedHugeKFuse:
             shard_rows(mesh8, values), k)
         # threshold + membership are exact -> counts identical; the mean
         # differs only by f32 psum reassociation
+        np.testing.assert_array_equal(np.asarray(got_count),
+                                      np.asarray(ref_count))
+        np.testing.assert_allclose(np.asarray(got_mean),
+                                   np.asarray(ref_mean), rtol=2e-6,
+                                   atol=2e-6)
+
+    def test_bf16_keys_select_bf16_tier(self, mesh8):
+        """A bf16 key table engages the bf16 selection tier end-to-end:
+        bf16 scores, 16-bit radix threshold, identical membership counts
+        vs the single-device bf16 math."""
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        keys = jnp.asarray(rng.normal(size=(512, 32)).astype(np.float32))
+        values = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+        keys_b = l2_normalize(keys).astype(jnp.bfloat16)
+        k = 100
+        # single-device twin of the model's bf16 branch
+        scores = jnp.dot(l2_normalize(q).astype(jnp.bfloat16), keys_b.T,
+                         preferred_element_type=jnp.bfloat16)
+        kth = rowwise_kth_largest(scores, k)
+        member = scores >= kth
+        ref_count = member.sum(axis=1)
+        ref_mean = (jnp.dot(member.astype(values.dtype), values,
+                            preferred_element_type=jnp.float32)
+                    / jnp.maximum(ref_count[:, None], 1))
+        got_mean, got_count = sharded_huge_k_fuse(
+            mesh8, replicate(mesh8, q), shard_rows(mesh8, keys_b),
+            shard_rows(mesh8, values), k)
+        assert int(got_count.min()) >= k  # bf16 ties only ever widen
         np.testing.assert_array_equal(np.asarray(got_count),
                                       np.asarray(ref_count))
         np.testing.assert_allclose(np.asarray(got_mean),
