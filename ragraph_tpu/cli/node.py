@@ -163,6 +163,7 @@ def run_pretrain(args):
     batches = list(flat_batches(ds.graphs, args.batch_size, pad,
                                 with_host_adj=True))
     masks_host = [np.asarray(g.node_mask) for g, _ in batches]
+    epoch_losses = []
     for epoch in range(args.pretrain_epochs):
         tot, nb = 0.0, 0
         for (g, raw_adj), mask_host in zip(batches, masks_host):
@@ -175,8 +176,14 @@ def run_pretrain(args):
                 jr.fold_in(jr.key(args.seed + 2), epoch * 1000 + nb))
             tot += float(loss)
             nb += 1
-        log.log_loss(epoch, {"lp_loss": tot / max(nb, 1)})
-        keeper.update(-tot / max(nb, 1), params)  # best (lowest) loss
+        epoch_losses.append(tot / max(nb, 1))
+        log.log_loss(epoch, {"pretrain_loss": epoch_losses[-1]})
+        keeper.update(-epoch_losses[-1], params)  # best (lowest) loss
+    os.makedirs(args.results_dir, exist_ok=True)
+    out = os.path.join(args.results_dir, f"pretrain_{args.dataset}.json")
+    with open(out, "w") as f:
+        json.dump({"loss_terms": terms, "epoch_losses": epoch_losses}, f,
+                  indent=4)
     log(f"saved best pretrain checkpoint: {keeper.path}")
     return keeper.path
 

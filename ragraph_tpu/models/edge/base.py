@@ -113,6 +113,19 @@ class EdgeModelConfig:
     eps: float = 0.1         # SimGCL perturbation magnitude
     n_negs: int = 16         # MixGCF candidate negatives
 
+    def __post_init__(self):
+        # Every consumer gates on string equality (``== "bf16"`` /
+        # ``== "int8"``) and silently falls back to the default tier on a
+        # typo, so fail loudly at construction instead.
+        if self.selection_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"selection_dtype must be 'f32' or 'bf16', got "
+                f"{self.selection_dtype!r}")
+        if self.retrieve_dtype not in ("input", "bf16", "int8"):
+            raise ValueError(
+                f"retrieve_dtype must be 'input', 'bf16' or 'int8', got "
+                f"{self.retrieve_dtype!r}")
+
 
 def bpr_loss(user_emb, pos_item_emb, neg_item_emb):
     """``-log sigmoid(pos - neg)`` (``base_model.py:81-86``)."""

@@ -30,3 +30,26 @@ def cosine_similarity(queries: jax.Array, keys: jax.Array) -> jax.Array:
     q = l2_normalize(queries)
     k = l2_normalize(keys)
     return jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def jaccard_similarity(adj: jax.Array) -> jax.Array:
+    """All-pairs neighbourhood Jaccard similarity ``(N, N)``.
+
+    Parity target: ``calculate_jaccard_similarity``
+    (``RAGraph_node/ragraph_utils/SimilarityFunctions.py:19-31``) —
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over adjacency rows, 0 when the union
+    is empty. The reference helper is UNUSED by any caller and
+    non-functional as written (it calls ``torch.intersect1d`` /
+    ``torch.union1d``, which do not exist in torch — numpy names); this
+    implements the intended semantics.
+
+    TPU-native form: for a boolean adjacency, the pairwise intersection
+    counts are one ``A @ A.T`` MXU matmul; unions come from degrees by
+    inclusion–exclusion. No per-pair set ops, no dynamic shapes.
+    """
+    a = (adj != 0).astype(jnp.float32)
+    inter = jnp.dot(a, a.T, preferred_element_type=jnp.float32)
+    deg = jnp.sum(a, axis=1)
+    union = deg[:, None] + deg[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)

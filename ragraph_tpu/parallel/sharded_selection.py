@@ -13,11 +13,13 @@ the mesh:
 1. each device scores the replicated query chunk against its R/D local
    rows — the ``(Q, R)`` score matrix only ever exists as ``(Q, R/D)``
    shards;
-2. the radix search runs on local uint32 keys with the per-pass rank
+2. the radix search runs on local ordered keys with the per-pass rank
    counts ``psum``'d over ICI — one ``(Q, 2^w - 1)`` int32 reduction per
-   pass, 11 passes. Counts are exact integer sums, so the global
-   threshold is **bitwise-equal** to the single-device selection
-   (``tests/test_sharded_selection.py`` asserts it);
+   pass. f32 shards use uint32 keys (11 passes); the bf16 tier
+   (``selection_dtype="bf16"``) searches native uint16 keys in 6
+   half-width passes. Counts are exact integer sums either way, so the
+   global threshold is **bitwise-equal** to the same-dtype single-device
+   selection (``tests/test_sharded_selection.py`` asserts it);
 3. the membership mean's partial sums (``count`` and
    ``member @ values``) complete with one more psum.
 

@@ -98,3 +98,18 @@ def test_edge_dataset_table():
         assert d["vanilla"]["rag_chunk"] == 512
         assert d["finetune"]["retrieve_num"] == 20
         assert d["vanilla"]["num_augment_scale"] == 1
+
+
+def test_edge_config_rejects_dtype_typos():
+    # Programmatic typos must fail at construction, not silently fall
+    # back to the default tier (ADVICE r3): every consumer string-matches.
+    import dataclasses
+    import pytest
+    with pytest.raises(ValueError, match="selection_dtype"):
+        EdgeModelConfig(selection_dtype="bf-16")
+    with pytest.raises(ValueError, match="retrieve_dtype"):
+        EdgeModelConfig(retrieve_dtype="int-8")
+    ok = EdgeModelConfig(selection_dtype="bf16", retrieve_dtype="int8")
+    # dataclasses.replace re-runs the validation too
+    with pytest.raises(ValueError):
+        dataclasses.replace(ok, selection_dtype="fp32")

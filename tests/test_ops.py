@@ -219,6 +219,27 @@ class TestSimilarityTopK:
         kn = k / np.linalg.norm(k, axis=1, keepdims=True)
         np.testing.assert_allclose(ours, qn @ kn.T, atol=1e-5)
 
+    def test_jaccard_matches_set_semantics(self):
+        # Parity: SimilarityFunctions.calculate_jaccard_similarity
+        # (reference:19-31) — the reference helper is unused and crashes
+        # (torch.intersect1d doesn't exist), so the oracle is the intended
+        # set semantics computed with numpy sets.
+        from ragraph_tpu.ops.similarity import jaccard_similarity
+        rng = np.random.default_rng(14)
+        a = (rng.random((15, 15)) < 0.3).astype(np.float32)
+        ours = np.asarray(jaccard_similarity(jnp.asarray(a)))
+        for u in range(15):
+            for v in range(15):
+                nu, nv = set(np.nonzero(a[u])[0]), set(np.nonzero(a[v])[0])
+                union = len(nu | nv)
+                want = (len(nu & nv) / union) if union else 0.0
+                assert abs(ours[u, v] - want) < 1e-6, (u, v)
+
+    def test_jaccard_isolated_nodes_zero(self):
+        from ragraph_tpu.ops.similarity import jaccard_similarity
+        a = jnp.zeros((4, 4))
+        assert np.all(np.asarray(jaccard_similarity(a)) == 0.0)
+
     def test_topk_matches_bruteforce(self):
         rng = np.random.default_rng(12)
         q = rng.normal(size=(5, 16)).astype(np.float32)
