@@ -22,6 +22,7 @@ Prints ONE JSON line:
    "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>,
    "mfu": <retrieval MFU>, "exact_retrieval_ms": ...,
    "exact_vs_approx": ..., "int8_retrieval_qps": ..., "int8_recall": ...,
+   "int8_rescore_qps": ..., "int8_rescore_recall": ...,
    "edge_step_ms": ..., "edge_step_bw_util": ...,
    "library_build_gps": ..., "node_step_ms": ...,
    "selection_kth_ms": ..., "selection_vs_sort": ...,
@@ -239,7 +240,47 @@ def bench_tpu():
         return (idx8[:, :, None] == idx_f32[:, None, :]).any(-1).mean()
 
     recall8 = float(recall_i8(queries, keys_i8, keys))
-    return Q / dt, recall, dt, flops / dt, roundtrip, Q / dt8, recall8
+
+    # Production int8 tier (VERDICT r3 #4): pre-quantized scoring table +
+    # exact rescore of k+22 candidates against the serving-dtype (bf16,
+    # same as the headline arm's table) rows — the configuration
+    # docs/SERVING.md actually recommends. Reference semantic target:
+    # ToyGraphBase.retrieve's exact torch.topk
+    # (RAGraph_node/ragraph_utils/ToyGraphBase.py:66-71).
+    keys_rs = l2_normalize(keys).astype(jnp.bfloat16)
+
+    @jax.jit
+    def retrieve_i8rs_chain(q, ki, kf):
+        def body(_, carry):
+            qq, acc = carry
+            s, _ = cosine_topk(qq, ki, K, method="approx",
+                               score_dtype="int8", rescore_pad=22,
+                               rescore_keys=kf, keys_normalized=True)
+            return qq + 1e-6 * s[:, :1], acc + s[0, 0]
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0)))
+        return acc
+
+    float(retrieve_i8rs_chain(queries, keys_i8, keys_rs))  # compile
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(retrieve_i8rs_chain(queries, keys_i8, keys_rs))
+        totals.append(time.perf_counter() - t0)
+    dt8rs = max((min(totals) - roundtrip) / ITERS, 1e-9)
+
+    @jax.jit
+    def recall_i8rs(q, ki, krs, kf):
+        _, idx8 = cosine_topk(q, ki, K, method="approx",
+                              score_dtype="int8", rescore_pad=22,
+                              rescore_keys=krs, keys_normalized=True)
+        scores = jnp.dot(l2_normalize(q), l2_normalize(kf).T,
+                         preferred_element_type=jnp.float32)
+        _, idx_f32 = jax.lax.top_k(scores, K)
+        return (idx8[:, :, None] == idx_f32[:, None, :]).any(-1).mean()
+
+    recall8rs = float(recall_i8rs(queries, keys_i8, keys_rs, keys))
+    return (Q / dt, recall, dt, flops / dt, roundtrip, Q / dt8, recall8,
+            Q / dt8rs, recall8rs)
 
 
 def bench_exact_retrieval(roundtrip):
@@ -622,7 +663,8 @@ def main():
     print(f"# calibration probe: {probe_tf:.1f} TFLOP/s "
           f"(degraded={degraded})", file=sys.stderr)
 
-    tpu_qps, recall, dt, flops_s, roundtrip, i8_qps, i8_recall = bench_tpu()
+    (tpu_qps, recall, dt, flops_s, roundtrip, i8_qps, i8_recall,
+     i8rs_qps, i8rs_recall) = bench_tpu()
     exact_dt = bench_exact_retrieval(roundtrip)
     edge_dt, _, edge_bytes_s = bench_edge_step(roundtrip)  # FLOP/s unused:
     # the edge step is gather-bound, HBM bandwidth is its ceiling
@@ -654,6 +696,8 @@ def main():
           f"exact top-k {exact_dt*1e3:.2f} ms/batch "
           f"({exact_dt/dt:.2f}x approx); "
           f"int8 tier {i8_qps:,.0f} q/s (recall {i8_recall:.4f}); "
+          f"int8+rescore {i8rs_qps:,.0f} q/s "
+          f"(recall {i8rs_recall:.4f}); "
           f"edge train step {edge_dt*1e3:.2f} ms "
           f"({(edge_bytes_s or 0)/1e9:.0f} GB/s = {edge_bwu} of peak HBM "
           f"bw); library build {lib_gps:,.0f} graphs/s; "
@@ -672,6 +716,8 @@ def main():
         "exact_vs_approx": round(exact_dt / dt, 2),
         "int8_retrieval_qps": round(i8_qps, 1),
         "int8_recall": round(i8_recall, 4),
+        "int8_rescore_qps": round(i8rs_qps, 1),
+        "int8_rescore_recall": round(i8rs_recall, 4),
         "edge_step_ms": round(edge_dt * 1e3, 3),
         "edge_step_bw_util": edge_bwu,
         "library_build_gps": round(lib_gps, 1),

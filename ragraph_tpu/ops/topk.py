@@ -59,7 +59,8 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
                 method: str = "auto",
                 recall_target: float = 0.99,
                 score_dtype: str = "input",
-                rescore_pad: int = 0):
+                rescore_pad: int = 0,
+                rescore_keys: jax.Array | None = None):
     """Top-k cosine scores and indices of ``queries`` against ``keys``.
 
     Args:
@@ -96,6 +97,14 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
         the true top-k of that set with full-precision scores. Measured:
         ``rescore_pad=22`` (k=10 -> 32 candidates) = 0.698 ms (1.24x
         bf16) at recall@10 0.9875.
+      rescore_keys: the PRODUCTION serving combination — score against a
+        pre-quantized int8 ``keys`` table (from :func:`quantize_keys_i8`,
+        so the per-call full-HBM quantization pass is skipped) while
+        rescoring the ``k + rescore_pad`` candidates against this float
+        ``(R, E)`` table (same rows; normalized iff ``keys_normalized``).
+        The rescore gather touches only ``Q*(k+pad)`` rows, so the int8
+        matmul's 2.2x throughput survives. Only valid with int8 ``keys``
+        and ``rescore_pad > 0``.
 
     Returns:
       ``(scores, indices)`` of shape ``(Q, k)``. With ``score_dtype=
@@ -103,17 +112,23 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
       quantized approximations.
     """
     q = queries if queries_normalized else l2_normalize(queries)
+    if rescore_keys is not None and (
+            keys.dtype != jnp.int8 or not rescore_pad):
+        raise ValueError("rescore_keys is only meaningful with "
+                         "pre-quantized int8 keys and rescore_pad > 0")
     if keys.dtype == jnp.int8:
         # pre-quantized table from quantize_keys_i8 (already normalized)
         if score_dtype != "int8":
             raise ValueError("int8 keys require score_dtype='int8'")
-        if rescore_pad:
-            raise ValueError("rescore_pad needs full-precision keys; "
-                             "pass float keys (quantization then happens "
-                             "per call)")
+        if rescore_pad and rescore_keys is None:
+            raise ValueError("rescore_pad needs full-precision rows; "
+                             "pass the float table as rescore_keys (or "
+                             "pass float keys to quantize per call)")
         kk = keys
     else:
         kk = keys if keys_normalized else l2_normalize(keys)
+    if rescore_keys is not None and not keys_normalized:
+        rescore_keys = l2_normalize(rescore_keys)
     if method == "auto":
         if keys.shape[0] < AUTO_APPROX_THRESHOLD:
             method = "exact"        # full sort is cheap at this size
@@ -127,7 +142,7 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
                 f"score_dtype='int8' breaks method={method!r}'s exact-"
                 "score contract; use method='approx' or 'exact'")
         return _int8_topk(q, kk, k, valid_mask, method, recall_target,
-                          rescore_pad)
+                          rescore_pad, rescore_keys)
     if score_dtype != "input":
         raise ValueError(f"unknown score_dtype {score_dtype!r}")
     if rescore_pad:
@@ -152,7 +167,8 @@ def cosine_topk(queries: jax.Array, keys: jax.Array, k: int,
     return jax.lax.top_k(scores, k)
 
 
-def _int8_topk(q, kk, k, valid_mask, method, recall_target, rescore_pad):
+def _int8_topk(q, kk, k, valid_mask, method, recall_target, rescore_pad,
+               rescore_keys=None):
     """Int8-scored top-k (+ optional exact candidate rescore).
 
     ``q``/``kk`` are already L2-normalized; see :func:`cosine_topk`'s
@@ -177,7 +193,8 @@ def _int8_topk(q, kk, k, valid_mask, method, recall_target, rescore_pad):
             scores, kc, recall_target=min(recall_target, 0.9))
     else:
         _, cand = jax.lax.top_k(scores, kc)
-    rows = jnp.take(kk, cand, axis=0)                  # (Q, kc, E)
+    rows = jnp.take(kk if rescore_keys is None else rescore_keys,
+                    cand, axis=0)                      # (Q, kc, E)
     sc = jnp.einsum("qe,qpe->qp", q.astype(rows.dtype), rows,
                     preferred_element_type=jnp.float32)
     if valid_mask is not None:

@@ -103,8 +103,33 @@ def test_int8_keys_guards(data):
     ki = quantize_keys_i8(keys)
     with pytest.raises(ValueError, match="score_dtype='int8'"):
         cosine_topk(queries, ki, K)
-    with pytest.raises(ValueError, match="full-precision keys"):
+    with pytest.raises(ValueError, match="full-precision rows"):
         cosine_topk(queries, ki, K, score_dtype="int8", rescore_pad=8)
+    with pytest.raises(ValueError, match="rescore_keys"):
+        cosine_topk(queries, keys, K, score_dtype="int8", rescore_pad=8,
+                    rescore_keys=keys)  # float keys: quantize per call
+
+
+def test_prequantized_rescore_matches_per_call(data):
+    """The production serving tier — pre-quantized int8 scoring table +
+    float rescore_keys — returns bitwise the same result as per-call
+    quantization with rescore_pad (same candidates, same exact rescore).
+    Reference semantic target: ToyGraphBase.retrieve's exact torch.topk
+    (RAGraph_node/ragraph_utils/ToyGraphBase.py:66-71)."""
+    from ragraph_tpu.ops.topk import quantize_keys_i8
+
+    keys, queries, s_ex, _, idx_ex = data
+    ki = quantize_keys_i8(keys)
+    v1, i1 = cosine_topk(queries, keys, K, score_dtype="int8",
+                         rescore_pad=22)
+    v2, i2 = cosine_topk(queries, ki, K, score_dtype="int8",
+                         rescore_pad=22, rescore_keys=keys)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    assert _recall(i2, idx_ex) >= 0.99
+    # rescored scores are the true f32 scores of the returned rows
+    picked = np.take_along_axis(np.asarray(s_ex), np.asarray(i2), axis=1)
+    np.testing.assert_allclose(np.asarray(v2), picked, atol=1e-6)
 
 
 def test_library_retrieve_dtype_wiring():
