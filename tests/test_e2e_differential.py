@@ -1,0 +1,43 @@
+"""Marker tests for the head-to-head end-to-end differential
+(experiments/reference_e2e_differential.py, VERDICT r3 item 1).
+
+The differential itself runs the reference's own torch drivers next to
+our CLI (~minutes), so it is an experiment, not a unit test; these
+assert the COMMITTED results: both sides ran on the same data and the
+final task metrics agree within seed noise. If a refactor changes
+pipeline behavior, re-run the experiment and re-commit the JSON.
+"""
+
+import json
+import os
+
+import pytest
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
+
+
+def _load(name):
+    path = os.path.join(RESULTS, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated (run experiments/"
+                    "reference_e2e_differential.py)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_static_differential_within_seed_noise():
+    out = _load("reference_e2e_differential_static.json")
+    assert out["within_seed_noise"], out
+    # both sides genuinely learned (33% chance on 3 classes)
+    assert out["reference"]["mean"] > 80.0
+    assert out["ours"]["mean"] > 80.0
+    # 5 seeded reruns each, per the reference protocol
+    assert len(out["reference"]["accuracy"]) == 5
+    assert len(out["ours"]["accuracy"]) == 5
+
+
+def test_edge_differential_within_seed_noise():
+    out = _load("reference_e2e_differential_edge.json")
+    assert out["within_noise"], out
+    assert out["reference"]["avg_recall"] > 0.0
+    assert out["ours"]["avg_recall"] > 0.0
