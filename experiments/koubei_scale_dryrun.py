@@ -93,11 +93,22 @@ def main():
             rng.normal(scale=0.1, size=(I, 64)).astype(np.float32)),
     }
 
+    # VERDICT r3 #3: the old single number (135 s) conflated the remote
+    # compile through the tunnel with execution. Record them separately:
+    # first call = compile + execute; steady state = best of 3 re-runs.
+    gen = jax.jit(model.generate)
     t0 = time.time()
-    u0, i0 = jax.jit(model.generate)(params)
+    u0, i0 = gen(params)
     jax.block_until_ready((u0, i0))
-    t_gen0 = time.time() - t0
-    print(f"plain generate (resource-graph build input): {t_gen0:.1f}s")
+    t_gen_compile = time.time() - t0
+    steady = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(gen(params))
+        steady.append(time.time() - t0)
+    t_gen_steady = min(steady)
+    print(f"plain generate: compile+first {t_gen_compile:.1f}s, "
+          f"steady {t_gen_steady*1e3:.1f}ms")
 
     t0 = time.time()
     model.make_resource_graph(u0, i0, jr.key(0))
@@ -190,16 +201,31 @@ def main():
     limit = ms.get("bytes_limit", 0)
     print(f"peak HBM {peak/2**30:.2f} GiB of {limit/2**30:.2f} GiB")
 
-    # tiny eval proves the output tensors are usable end-to-end
+    # non-vacuous eval (VERDICT r3 weak-spot 2): each probe user's test
+    # item is one of its OWN interacted items — after 3-layer propagation
+    # a user's embedding is built from its neighbors', so the fused
+    # ratings must rank that item far above the 101k-item chance floor
+    # (20/I ≈ 2e-4). Random test items (the old smoke) asserted nothing.
     ev = RankingEvaluator(ks=(20,))
-    test_dict = {int(q): [int(rng.integers(0, I))] for q in range(256)}
+    probe_users = np.unique(u)[:256]
+    first_item = {}
+    for uu, ii in zip(u, it):
+        if uu not in first_item:
+            first_item[uu] = int(ii) - U
+    test_dict = {int(q): [first_item[q]] for q in probe_users}
     res = ev.evaluate(ue, ie, test_dict, {})
+    chance = 20.0 / I
+    print(f"planted-signal recall@20: {float(res['recall'][0]):.4f} "
+          f"(chance {chance:.2e})")
+    assert float(res["recall"][0]) > 100 * chance, (
+        "fused output failed the planted-signal sanity floor")
     out = {
         "num_users": U, "num_items": I, "interactions": M,
         "retrieve_num": cfg.retrieve_num, "rag_chunk": cfg.rag_chunk,
         "selection_dtype": SELDT,
         "resource_rows": res_rows,
-        "generate_plain_s": round(t_gen0, 2),
+        "generate_compile_s": round(t_gen_compile, 2),
+        "generate_steady_ms": round(t_gen_steady * 1e3, 2),
         "resource_build_s": round(t_lib, 2),
         "generate_rag_s": round(t_fused, 2),
         "peak_hbm_gib": round(peak / 2**30, 3),
@@ -207,7 +233,8 @@ def main():
         "chunk_temp_gib": round(chunk_temp / 2**30, 3),
         "chunk_args_gib": round(chunk_args / 2**30, 3),
         "chunk_out_mib": round(chunk_out / 2**20, 3),
-        "eval_recall_smoke": float(res["recall"][0]),
+        "eval_recall_planted": float(res["recall"][0]),
+        "eval_recall_chance": chance,
     }
     os.makedirs(SAVE, exist_ok=True)
     suffix = "" if SCALE == 1.0 else f"_{SCALE:g}x"

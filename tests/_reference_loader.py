@@ -244,6 +244,11 @@ def _load_edge(ns: SimpleNamespace):
         import modules.base_model  # noqa: F401
         import modules.utils  # noqa: F401
         import utils.metrics  # noqa: F401
+        # full driver-protocol pieces (e2e differential): loader,
+        # trainer, the GraphPro pretrain backbone, merge_pd
+        import modules.GraphPro  # noqa: F401
+        import utils.dataloader  # noqa: F401
+        import utils.trainer  # noqa: F401
         graphprompt_pkg = types.ModuleType("modules.graphprompt")
         graphprompt_pkg.__path__ = [f"{EDGE}/modules/graphprompt"]
         sys.modules["modules.graphprompt"] = graphprompt_pkg
@@ -258,6 +263,11 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_RAGraph = modules.RAGraph.RAGraph
         ns.edge_GP = modules.graphprompt.GP.GP
         ns.edge_Metric = utils.metrics.Metric
+        ns.edge_GraphPro = modules.GraphPro.GraphPro
+        ns.edge_EdgeListData = utils.dataloader.EdgeListData
+        ns.edge_Trainer = utils.trainer.Trainer
+        ns.edge_merge_pd = _load_file("refedge_utility",
+                                      f"{EDGE}/utility.py").merge_pd
     finally:
         sys.path[:] = saved_path
         _purge(["torch_scatter", "utils", "modules"])
