@@ -42,14 +42,35 @@ must drop the recall target, which end-to-end quality tolerates
 (boundary misses concentrate at the tail of the candidate window, not
 in the final top-k).
 
+Tail percentiles (VERDICT r3 #7): chip/link state swings latencies
+1.9-2.4x across sessions, so single-session means oversell. Every arm
+now records REPS chain repetitions per session and dumps the raw
+samples to results/serving_sessions/session_<ts>.json; run the script
+in >=3 separate sessions, then ``python benchmarks/serving_percentiles.py``
+pools the session files into the p50/p99 table SERVING.md quotes.
+
+Per-request tail latency in the dispatch-per-request sense is NOT
+measurable through this environment's tunnel (the host<->device
+roundtrip is ~1 ms and serializes before each tiny request); the
+distribution captured here is chain-level — the on-chip per-iteration
+cost under repeated capture, which is what the cross-session variance
+actually moves. A dispatch-mode B=1 arm (async Python-driven dispatch,
+with and without ``donate_argnums`` on the fed-back user buffer) is
+recorded separately to quantify the dispatch ceiling and whether
+donation helps the hot B=1 path.
+
 Usage: python benchmarks/bench_serving.py   (real TPU)
 """
 
+import json
+import os
 import time
 
 import numpy as np
 
 ITERS = 50
+REPS = int(os.environ.get("SERVING_REPS", "10"))
+DISPATCH_N = 200
 
 
 def _roundtrip():
@@ -65,32 +86,36 @@ def _roundtrip():
 
 
 def _time_chain(fn, *args, roundtrip):
-    """min-of-3 of a jitted ITERS-chain, per-iteration seconds."""
+    """REPS samples of a jitted ITERS-chain, per-iteration seconds."""
     float(fn(*args))  # compile
-    ts = []
-    for _ in range(3):
+    out = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return max((min(ts) - roundtrip) / ITERS, 1e-9)
+        out.append(max((time.perf_counter() - t0 - roundtrip) / ITERS,
+                       1e-9))
+    return out
 
 
 def _time_slope(make_chain, *args):
     """Per-iteration seconds as the slope between an ITERS and a 4*ITERS
     chain — for work faster than one tunnel roundtrip, where roundtrip
-    subtraction clamps to zero (same trick as bench.py's node step)."""
+    subtraction clamps to zero (same trick as bench.py's node step).
+    Returns REPS per-pair slope samples (each pair adjacent in time, so
+    chip-state drift cancels within a sample)."""
     short, long_ = make_chain(ITERS), make_chain(4 * ITERS)
     float(short(*args))  # compile both lengths
     float(long_(*args))
-    ts, tl = [], []
-    for _ in range(3):
+    out = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         float(short(*args))
-        ts.append(time.perf_counter() - t0)
+        ts = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(long_(*args))
-        tl.append(time.perf_counter() - t0)
-    return max((min(tl) - min(ts)) / (3 * ITERS), 1e-9)
+        tl = time.perf_counter() - t0
+        out.append(max((tl - ts) / (3 * ITERS), 1e-9))
+    return out
 
 
 def bench_edge_serving(roundtrip):
@@ -147,12 +172,12 @@ def bench_edge_serving(roundtrip):
         return jax.lax.fori_loop(0, 10, body, jnp.float32(0))
 
     float(gen_chain(params))
-    ts = []
-    for _ in range(3):
+    refresh_ms = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         float(gen_chain(params))
-        ts.append(time.perf_counter() - t0)
-    refresh_ms = max((min(ts) - roundtrip) / 10, 1e-9) * 1e3
+        refresh_ms.append(
+            max((time.perf_counter() - t0 - roundtrip) / 10, 1e-9) * 1e3)
 
     # --- request path at several batch sizes ---
     out = {}
@@ -179,7 +204,7 @@ def bench_edge_serving(roundtrip):
 
         # slope timing: the small-B requests are far faster than one
         # tunnel roundtrip, where plain subtraction clamps to zero
-        out[B] = _time_slope(make_chain, ue, ie, users0) * 1e3
+        out[B] = [s * 1e3 for s in _time_slope(make_chain, ue, ie, users0)]
 
     # fused candidate path at the HBM-bound shape: top-(k+pad) straight
     # out of the matmul epilogue, history filtered among candidates
@@ -204,8 +229,41 @@ def bench_edge_serving(roundtrip):
             return acc
         return req_chain
 
-    out["4096 fused"] = _time_slope(make_fused, ue, ie, users0) * 1e3
-    return refresh_ms, out
+    out["4096 fused"] = [s * 1e3
+                         for s in _time_slope(make_fused, ue, ie, users0)]
+
+    # --- dispatch-mode B=1: Python-driven async dispatch (the way a
+    # real serving loop issues requests), with and without donating the
+    # fed-back user buffer. Measures the per-request DISPATCH ceiling
+    # (host-bound through this tunnel) and whether donate_argnums
+    # measurably helps the hot B=1 path (VERDICT r3 #7).
+    users1 = jnp.asarray(rng.integers(0, U, 1).astype(np.int32))
+    hist_rows1 = jnp.zeros((32,), jnp.int32)
+
+    def _step(ue, ie, us):
+        s, idx = model.recommend_from(ue, ie, us, k=20,
+                                      hist_rows=hist_rows1,
+                                      hist_cols=hist_cols)
+        return (idx[:, 0].astype(jnp.int32) + us) % U
+
+    dispatch = {}
+    for name, step in (
+            ("plain", jax.jit(_step)),
+            ("donate", jax.jit(_step, donate_argnums=(2,)))):
+        us = jnp.array(users1, copy=True)
+        us = step(ue, ie, us)           # compile
+        us.block_until_ready()
+        samples = []
+        for _ in range(REPS):
+            us_run = jnp.array(users1, copy=True)
+            t0 = time.perf_counter()
+            for _ in range(DISPATCH_N):
+                us_run = step(ue, ie, us_run)
+            us_run.block_until_ready()
+            samples.append((time.perf_counter() - t0) / DISPATCH_N * 1e3)
+        dispatch[name] = samples
+
+    return refresh_ms, out, dispatch
 
 
 def bench_node_inference(roundtrip):
@@ -255,21 +313,48 @@ def bench_node_inference(roundtrip):
                                    (graph, jnp.float32(0)))
         return acc
 
-    return _time_chain(chain, state, graph, roundtrip=roundtrip) * 1e3
+    return [s * 1e3
+            for s in _time_chain(chain, state, graph, roundtrip=roundtrip)]
 
 
 def main():
     rt = _roundtrip()
-    refresh_ms, req = bench_edge_serving(rt)
+    refresh_ms, req, dispatch = bench_edge_serving(rt)
     node_ms = bench_node_inference(rt)
+
+    def stats(xs):
+        return (f"min {min(xs):.3f} / p50 {float(np.percentile(xs, 50)):.3f}"
+                f" / max {max(xs):.3f} ms")
+
     print(f"edge embedding refresh (128k x 128k users/items, 2M edges, "
-          f"3 layers): {refresh_ms:.2f} ms")
+          f"3 layers): {stats(refresh_ms)}")
     for b, ms in req.items():
         n = int(str(b).split()[0])
         print(f"edge recommend_from  B={b!s:<10} over 131k items, k=20: "
-              f"{ms:.3f} ms/request ({n / ms * 1e3:,.0f} users/s)")
+              f"{stats(ms)} ({n / min(ms) * 1e3:,.0f} users/s at best)")
+    for name, ms in dispatch.items():
+        print(f"dispatch-mode B=1 ({name}): {stats(ms)} per request "
+              f"(host/tunnel-bound ceiling)")
     print(f"node-task inference (2048 nodes, 262k-row library, "
-          f"training-free forward): {node_ms:.2f} ms/batch")
+          f"training-free forward): {stats(node_ms)}")
+
+    out = {
+        "ts": time.time(), "iters": ITERS, "reps": REPS,
+        "dispatch_n": DISPATCH_N, "roundtrip_ms": rt * 1e3,
+        "arms": {
+            "refresh_ms": refresh_ms,
+            "B1_ms": req[1], "B256_ms": req[256], "B4096_ms": req[4096],
+            "B4096_fused_ms": req["4096 fused"],
+            "B1_dispatch_ms": dispatch["plain"],
+            "B1_dispatch_donate_ms": dispatch["donate"],
+            "node_ms": node_ms,
+        },
+    }
+    os.makedirs("results/serving_sessions", exist_ok=True)
+    path = f"results/serving_sessions/session_{int(time.time())}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"session samples written to {path}")
 
 
 if __name__ == "__main__":
