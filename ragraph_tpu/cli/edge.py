@@ -156,21 +156,29 @@ def _dynamic_mode(args):
 
 
 def _load_rows(args):
+    """Returns ``(train, val, finetune, stages)``. ``val`` is the
+    pretrain validation split (``pretrain_val.txt``): the reference
+    evaluates pretraining against it (``pretrain.py:53-62``) AND sizes
+    the id space from ``EdgeListData(pretrain, pretrain_val)``
+    (``utils/dataloader.py:107-111``) — both need it separately from
+    ``fine_tune.txt``."""
     if args.data_path == "SYNTH":
         from ragraph_tpu.data import synthetic_edge_stream
         train, stages = synthetic_edge_stream(seed=0, num_users=64,
                                               num_items=128, num_stages=5)
         # hold out the first generated stage as the pretrain val split
         # (mirrors pretrain.txt / pretrain_val.txt being disjoint)
-        return train, stages[0], stages[1:]
+        return train, stages[0], stages[0], stages[1:]
     from ragraph_tpu.data import parse_edge_file
     base = args.data_path
     n = 8 if os.path.basename(base) == "amazon" else 4
     train = parse_edge_file(os.path.join(base, "pretrain.txt"))
+    val_path = os.path.join(base, "pretrain_val.txt")
     finetune = parse_edge_file(os.path.join(base, "fine_tune.txt"))
+    val = parse_edge_file(val_path) if os.path.exists(val_path) else finetune
     stages = [parse_edge_file(os.path.join(base, f"test_{i}.txt"))
               for i in range(1, n + 1)]
-    return train, finetune, stages
+    return train, val, finetune, stages
 
 
 def _cfg(args, phase, dataset_name, num_nodes=None):
@@ -200,7 +208,7 @@ def run_pretrain(args):
 
     log = RunLogger(save_dir=args.save_dir, exp_name="edge-pretrain")
     _, rng = seed_everything(args.seed)
-    train_rows, val_rows, _ = _load_rows(args)
+    train_rows, val_rows, _, _ = _load_rows(args)
     ds = load_edge_dataset(train_rows,
                            [(u, i) for (u, i, *_) in val_rows],
                            hour_interval=args.hour_interval)
@@ -240,7 +248,7 @@ def run_finetune(args):
 
     log = RunLogger(save_dir=args.save_dir, exp_name="edge-finetune")
     seed_everything(args.seed)
-    train_rows, ft_rows, stage_rows = _load_rows(args)
+    train_rows, val_rows, ft_rows, stage_rows = _load_rows(args)
     name = os.path.basename(args.data_path)
 
     if args.pre_model_path:
@@ -273,14 +281,15 @@ def run_finetune(args):
             cfg_factory=lambda phase: _cfg(args, phase, name),
             key=jr.key(args.seed), model_cls=_model_cls(args),
             mode=_dynamic_mode(args), hour_interval=args.hour_interval,
-            num_epochs=args.epochs, logger=log, mesh=mesh)
+            num_epochs=args.epochs, logger=log, mesh=mesh,
+            val_rows=val_rows)
     else:
         result = staged_finetune(
             train_rows, ft_rows, stage_rows, tables,
             cfg_factory=lambda phase: _cfg(args, phase, name),
             key=jr.key(args.seed), hour_interval=args.hour_interval,
             updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
-            model_cls=_model_cls(args), mesh=mesh)
+            model_cls=_model_cls(args), mesh=mesh, val_rows=val_rows)
     log(f"recalls: {result.recalls}")
     log(f"ndcgs:   {result.ndcgs}")
     log(f"avg recall {result.avg_recall:.5f} avg ndcg {result.avg_ndcg:.5f}")
@@ -309,7 +318,7 @@ def run_vanilla(args):
 
     log = RunLogger(save_dir=args.save_dir, exp_name="edge-vanilla")
     seed_everything(args.seed)
-    train_rows, ft_rows, stage_rows = _load_rows(args)
+    train_rows, _, ft_rows, stage_rows = _load_rows(args)
     name = os.path.basename(args.data_path)
     default = os.path.join(args.save_dir, f"pretrain_{args.model}_{name}")
     tables = restore_checkpoint(default, use_orbax=False)

@@ -118,7 +118,8 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
                    hour_interval: float = 1.0,
                    num_epochs: int | None = None,
                    meta_weight: float = 0.9,
-                   logger: Callable = print, mesh=None) -> "StageResult":
+                   logger: Callable = print, mesh=None,
+                   val_rows: list | None = None) -> "StageResult":
     """Staged training for the dynamic-GNN baselines.
 
     Parity with the reference's dynamic driver pattern
@@ -130,8 +131,10 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
     """
     from ragraph_tpu.models.edge.dynamic import ema_merge
 
-    base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
-                                hour_interval=hour_interval)
+    base_ds = load_edge_dataset(
+        pretrain_rows,
+        val_rows if val_rows is not None else stage_rows[0],
+        hour_interval=hour_interval)
     num_users, num_items = base_ds.num_users, base_ds.num_items
     _validate_tables(pretrain_tables, num_users, num_items)
 
@@ -211,7 +214,8 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
                     key: jax.Array, *, hour_interval: float = 1.0,
                     updt_inter: int = 1, num_epochs: int | None = None,
                     logger: Callable = print,
-                    model_cls=RAGraphEdge, mesh=None) -> StageResult:
+                    model_cls=RAGraphEdge, mesh=None,
+                    val_rows: list | None = None) -> StageResult:
     """Run the staged loop.
 
     Args:
@@ -226,9 +230,19 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         with an ``idx`` axis > 1 the embedding tables row-shard over it
         and propagation runs the receiver-range shard_map path
         (``parallel/edge_sharded.py``).
+      val_rows: the pretrain VALIDATION rows. The reference fixes the
+        id space from ``EdgeListData(pretrain.txt, pretrain_val.txt)``
+        (``utils/dataloader.py:107-111`` scans BOTH files), so an item
+        seen only in the val split still sizes the tables; without this
+        the scan falls back to pretrain + stage-1 rows and a
+        val-only max id makes imported reference checkpoints fail the
+        row-count validation (found by the r4 e2e edge differential at
+        4000 users).
     """
-    base_ds = load_edge_dataset(pretrain_rows, stage_rows[0],
-                                hour_interval=hour_interval)
+    base_ds = load_edge_dataset(
+        pretrain_rows,
+        val_rows if val_rows is not None else stage_rows[0],
+        hour_interval=hour_interval)
     num_users, num_items = base_ds.num_users, base_ds.num_items
     _validate_tables(pretrain_tables, num_users, num_items)
 
