@@ -114,7 +114,11 @@ def main():
     def _mm_kernel(k_ref, q_ref, out_ref):
         tile = jnp.dot(k_ref[:], q_ref[:].T,
                        preferred_element_type=jnp.float32)
-        out_ref[:] = tile[::LANE, :]
+        # static index on the reshaped middle dim (the [::LANE, :]
+        # strided slice lowers to a gather Mosaic rejects; the reshape
+        # is the same one the real kernel's 128-group max uses)
+        out_ref[:] = tile.reshape(tile.shape[0] // LANE, LANE,
+                                  tile.shape[1])[:, 0, :]
 
     def mm_proxy(q, kn):
         bm = pl.pallas_call(

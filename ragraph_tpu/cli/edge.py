@@ -192,6 +192,11 @@ def _cfg(args, phase, dataset_name, num_nodes=None):
         use_noise=args.noise,
         use_lora=lora != "off",
         lora_init_scale=1.0 if lora == "svd" else 0.0,
+        # "svd" is the strict-reference arm: the reference's optimizer
+        # never updates the factors (plain tensors, not nn.Parameters —
+        # EdgeModelConfig.lora_train_factors), so freeze them there;
+        # "zero" is classic trained LoRA.
+        lora_train_factors=lora != "svd",
         retrieve_dtype=getattr(args, "retrieve_dtype", "input"),
         selection_dtype=getattr(args, "selection_dtype", "f32"),
         batch_size=args.batch_size)

@@ -75,6 +75,18 @@ class EdgeModelConfig:
     # scaled to 0; gradients still flow, B keeps the SVD row space) —
     # measures 0.01151 vs the SVD init's 0.00907-0.01005 on amazon.
     lora_init_scale: float = 0.0
+    # Whether the optimizer trains the A/B factors. The reference ASSIGNS
+    # its factors as plain tensors, not nn.Parameters
+    # (modules/RAGraph.py:140-158: ``self.user_embedding_A = ...
+    # .detach().requires_grad_(True)``), so its Trainer's
+    # ``optim.Adam(model.parameters())`` (utils/trainer.py:19-21) never
+    # sees them — in the shipped driver the SVD delta is a FROZEN
+    # additive bias and only the base tables + gating train. True
+    # (default) trains the factors (classic LoRA — required for the
+    # zero-init mode to do anything at all); False reproduces the
+    # reference driver's frozen-delta dynamics (CLI: --lora svd).
+    # Found by the r4 e2e edge differential (-9.5% systematic gap).
+    lora_train_factors: bool = True
     # segment-reduction implementation: "auto" picks the fused custom-VJP
     # propagation (bf16 gathers + sorted reduce both directions, ~3x per
     # layer) whenever it applies (TPU + sorted edges + sender-order

@@ -376,10 +376,18 @@ class TemporalLightGCN:
             ku = ki = None
             if training and key is not None and self.cfg.emb_dropout > 0:
                 ku, ki = jax.random.split(jax.random.fold_in(key, 1))
-            u = apply_lora(u, LoRAFactors(*params["user_lora"]),
-                           self.cfg.emb_dropout, ku)
-            it = apply_lora(it, LoRAFactors(*params["item_lora"]),
-                            self.cfg.emb_dropout, ki)
+            u_f = LoRAFactors(*params["user_lora"])
+            i_f = LoRAFactors(*params["item_lora"])
+            if not self.cfg.lora_train_factors:
+                # reference-driver dynamics: the factors are plain
+                # tensors the torch optimizer never updates (see
+                # EdgeModelConfig.lora_train_factors) — the delta is a
+                # constant additive bias, so cut its gradient here and
+                # Adam's zero-grad no-op leaves the leaves untouched.
+                u_f = jax.tree.map(jax.lax.stop_gradient, u_f)
+                i_f = jax.tree.map(jax.lax.stop_gradient, i_f)
+            u = apply_lora(u, u_f, self.cfg.emb_dropout, ku)
+            it = apply_lora(it, i_f, self.cfg.emb_dropout, ki)
         return u, it
 
     def _gate(self, params, all_emb, key, training: bool):

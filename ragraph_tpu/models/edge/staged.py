@@ -298,6 +298,15 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         pre_params["item_embedding"] = merged["item_embedding"]
         pre_u, pre_i = pre_model.generate(
             pre_params, key=jax.random.fold_in(k_stage, 1))
+        # The reference draws generate() TWICE per stage: once for the
+        # finetune model's init tables (modules/RAGraph.py:115) and once
+        # more inside _make_resource_graph (:186) — and the for_tune
+        # random gate resamples its weights per call (:177-183), so the
+        # library base and the init tables carry INDEPENDENT gate draws.
+        # Reusing one draw correlates the library with the query tables
+        # (found by the r4 e2e edge differential).
+        res_u, res_i = pre_model.generate(
+            pre_params, key=jax.random.fold_in(k_stage, 6))
 
         ft_dataset = load_edge_dataset(
             all_rows[ft_idx], stage_rows[stage - 1],
@@ -309,7 +318,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
                           _arrays(ft_dataset),
                           phase="finetune", mesh=mesh)
         if model.use_rag:
-            model.make_resource_graph(pre_u, pre_i,
+            model.make_resource_graph(res_u, res_i,
                                       jax.random.fold_in(k_stage, 2))
         params = model.init_params(jax.random.fold_in(k_stage, 3),
                                    pretrained_tables=(pre_u, pre_i))

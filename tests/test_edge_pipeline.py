@@ -172,6 +172,46 @@ class TestModels:
         assert np.isfinite(float(loss))
         assert float(aux["reg_loss"]) > 0
 
+    def test_lora_frozen_factors_reference_driver(self, dataset):
+        """``lora_train_factors=False`` reproduces the reference driver:
+        its A/B factors are plain tensors excluded from
+        ``optim.Adam(model.parameters())`` (``modules/RAGraph.py:140-158``
+        + ``utils/trainer.py:19-21``), so the SVD delta is a constant
+        additive bias — zero gradient on the factors, while the delta
+        still shifts the effective tables and the base tables still
+        train."""
+        g = EdgeGraphArrays.from_dataset(dataset)
+        u0 = jr.normal(jr.key(10), (g.num_users, 16))
+        i0 = jr.normal(jr.key(11), (g.num_items, 16))
+        users = jnp.arange(8, dtype=jnp.int32)
+        pos = jnp.arange(8, dtype=jnp.int32)
+        neg = jnp.arange(8, 16, dtype=jnp.int32)
+
+        grads = {}
+        for frozen in (False, True):
+            cfg = _small_cfg(lora_rank=4, use_lora=True,
+                             lora_init_scale=1.0,
+                             lora_train_factors=not frozen)
+            fin = RAGraphEdge(cfg, g, phase="finetune")
+            fin.make_resource_graph(u0, i0, jr.key(1))
+            params = fin.init_params(jr.key(2), pretrained_tables=(u0, i0))
+            gr = jax.grad(lambda p: fin.cal_loss(
+                p, (users, pos, neg), jr.key(3))[0])(params)
+            grads[frozen] = gr
+            lora_norm = sum(float(jnp.abs(x).sum())
+                            for x in (*gr["user_lora"], *gr["item_lora"]))
+            base_norm = float(jnp.abs(gr["user_embedding"]).sum())
+            if frozen:
+                assert lora_norm == 0.0
+            else:
+                assert lora_norm > 0.0
+            assert base_norm > 0.0
+        # the delta itself still acts on the forward identically: the
+        # base-table gradients agree between the two modes at step 0
+        np.testing.assert_allclose(
+            np.asarray(grads[True]["user_embedding"]),
+            np.asarray(grads[False]["user_embedding"]), atol=1e-6)
+
     def test_fuse_rag_threshold_path_matches_index_path(
             self, dataset, monkeypatch):
         """The huge-k membership-matmul retrieval (engaged when
