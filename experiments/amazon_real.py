@@ -166,8 +166,17 @@ SWEEP = {
     "RAGraph": (True, {}),
     # The reference's own default: SVD-initialized LoRA delta
     # (modules/RAGraph.py:122-160). This is the arm the docstring's
-    # 0.0091-0.0101 SVD-init range came from.
+    # 0.0091-0.0101 SVD-init range came from. NOTE: this arm TRAINS the
+    # A/B factors — classic LoRA, which the reference driver does NOT
+    # actually do (see "RAGraph-svdfrozen").
     "RAGraph-svdinit": (True, {"lora_init_scale": 1.0}),
+    # The reference driver's REAL dynamics (r4 finding, docs/PARITY.md):
+    # its A/B factors are plain tensors excluded from
+    # optim.Adam(model.parameters()) (modules/RAGraph.py:140-158 +
+    # utils/trainer.py:19-21), so the SVD delta is a frozen additive
+    # bias. This is what `cli.edge --lora svd` now ships.
+    "RAGraph-svdfrozen": (True, {"lora_init_scale": 1.0,
+                                 "lora_train_factors": False}),
     "RAGraph-noLoRA": (False, {}),
     "RAGraph-noise": (False, {"use_noise": True}),
     # int8 MXU retrieval scoring (ops/topk score_dtype): LoRA-off so it

@@ -11,8 +11,9 @@ Data: synthetic planted-cluster interactions at koubei dims (119,958
 users × 101,404 items; 1.5M pretrain + 300k fine-tune + 4 stages of
 300k). Users prefer items of their own cluster with p=0.8, so stage
 recall@20 has a learnable floor ≫ the 20/101,404 ≈ 2e-4 chance — the
-eval asserts ≥ 50× chance (non-vacuous by construction, VERDICT weak
-spot 2).
+eval asserts ≥ half the planted-structure ceiling of
+0.8·20/(I/C) ≈ 7.9e-3 (non-vacuous by construction, VERDICT weak
+spot 2; the first r4 run hit 98% of that ceiling).
 
 Epoch counts are small (this is a scale/e2e proof, not a convergence
 study); per-stage wall/eval seconds and the planted-signal recalls land
@@ -135,12 +136,21 @@ def main():
     t_staged = time.time() - t_start
 
     chance = 20.0 / I
+    # Planted-structure CEILING, not just a floor: a perfect
+    # cluster-identifying model ranks 20 of the ~I/CLUSTERS own-cluster
+    # items; a test positive is own-cluster w.p. 0.8 and uniform w.p.
+    # 0.2, so recall@20 tops out at 0.8*20/(I/C) + 0.2*20/I ~= 7.9e-3
+    # (~40x chance — the original 50x-chance assert sat ABOVE this and
+    # would fail a perfect model; the first r4 run measured 0.0078 =
+    # 98% of ceiling). Assert at half-ceiling: real structure learned,
+    # no flake room.
+    ceiling = 0.8 * 20.0 / (I / CLUSTERS) + 0.2 * chance
     log(f"staged: {t_staged:.0f}s; recalls {res.recalls} "
-        f"(chance {chance:.2e})")
+        f"(chance {chance:.2e}, planted ceiling {ceiling:.2e})")
     for r in res.recalls:
-        assert r > 50 * chance, (
-            f"stage recall {r} under the planted-signal floor "
-            f"{50 * chance:.2e}")
+        assert r > 0.5 * ceiling, (
+            f"stage recall {r} under half the planted-signal ceiling "
+            f"{0.5 * ceiling:.2e}")
 
     ms = jax.devices()[0].memory_stats() or {}
     out = {
@@ -154,7 +164,7 @@ def main():
         "staged_wall_per_stage_s": round(t_staged / N_STAGES, 1),
         "recalls": res.recalls, "ndcgs": res.ndcgs,
         "avg_recall": res.avg_recall, "avg_ndcg": res.avg_ndcg,
-        "recall_chance": chance,
+        "recall_chance": chance, "recall_ceiling": ceiling,
         "peak_hbm_gib": round(ms.get("peak_bytes_in_use", 0) / 2**30, 3),
         "stage_log": stage_marks,
     }
