@@ -347,6 +347,12 @@ def run_static():
 
     gap = ours_mean - ref_mean
     noise = ref_std + ours["std"]
+    # standard error of the mean difference over the 5 test seeds
+    # (sample variances); the old max(noise, 2.0pp) hatch is gone —
+    # same judge finding as the edge differential.
+    _n = min(len(ref_accs), len(ours["accuracy"]))
+    se = float(np.sqrt(np.var(ref_accs, ddof=1) / _n
+                       + np.var(ours["accuracy"], ddof=1) / _n))
     out = {
         "config": {"hidden": HID, "batch": BATCH,
                    "downstream_epochs": DOWN_EPOCHS,
@@ -363,12 +369,15 @@ def run_static():
                  "protocol": "cli.node pretrain + finetune"},
         "gap_pp": gap,
         "combined_std_pp": noise,
-        "within_seed_noise": bool(abs(gap) <= max(noise, 2.0)),
+        "gap_se_pp": se,
+        "gap_sigma": gap / max(se, 1e-12),
+        "within_seed_noise": bool(abs(gap) <= 2.0 * se),
     }
     with open("results/reference_e2e_differential_static.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in
-                      ("gap_pp", "combined_std_pp", "within_seed_noise")}))
+                      ("gap_pp", "gap_se_pp", "gap_sigma",
+                       "within_seed_noise")}))
     return out
 
 

@@ -368,8 +368,16 @@ def run_edge():
     ref_avgs = [s["reference"]["avg_recall"] for s in per_seed]
     our_avgs = [s["ours"]["avg_recall"] for s in per_seed]
     ref_mean, our_mean = float(np.mean(ref_avgs)), float(np.mean(our_avgs))
-    # combined seed noise: std of the per-seed stage-average recalls
+    # combined seed noise (legacy diagnostic): sum of per-arm stds
     noise = float(np.std(ref_avgs) + np.std(our_avgs))
+    # proper two-sample criterion: standard error of the mean
+    # difference, sample (ddof=1) variances. The r3 script's
+    # max(2*noise, 0.2*ref_mean) let a 3-sigma systematic gap pass as
+    # "within noise" through the 20%-of-mean escape hatch (judge
+    # finding) — that hatch is gone.
+    n = len(SEEDS)
+    se = float(np.sqrt(np.var(ref_avgs, ddof=1) / n
+                       + np.var(our_avgs, ddof=1) / n))
     gap = our_mean - ref_mean
     out = {
         "subsample": stats,
@@ -392,13 +400,15 @@ def run_edge():
         "gap": gap,
         "rel_gap": gap / max(ref_mean, 1e-12),
         "combined_seed_std": noise,
-        "within_noise": bool(abs(gap) <= max(2.0 * noise, 0.2 * ref_mean)),
+        "gap_se": se,
+        "gap_sigma": gap / max(se, 1e-12),
+        "within_noise": bool(abs(gap) <= 2.0 * se),
     }
     os.makedirs("results", exist_ok=True)
     with open("results/reference_e2e_differential_edge.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in
-                      ("gap", "rel_gap", "combined_seed_std",
+                      ("gap", "rel_gap", "gap_se", "gap_sigma",
                        "within_noise")}))
     return out
 
