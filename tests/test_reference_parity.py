@@ -948,13 +948,23 @@ def test_lora_svd_init_and_gate_parity(R):
     np.testing.assert_allclose(ours, ref_gate, atol=1e-5)
 
 
-def test_lora_finetune_trajectory_parity(R):
-    """VERDICT r2 #2: N Adam steps of LoRA-default fine-tuning (base
-    tables AND A/B factors training, ``modules/RAGraph.py:122-160``
-    ``:157-158`` ``:269-271`` ``:335-355``) on identical data/weights in
-    torch and JAX — per-step losses and the final EFFECTIVE tables
-    (base + A@B) must match. Determinism: edge_dropout=0 (EdgelistDrop
-    keep=1 is exact), emb_dropout=0, renorm time mode, no noise."""
+@pytest.mark.parametrize("frozen_factors", [False, True],
+                         ids=["trained-AB", "frozen-AB"])
+def test_lora_finetune_trajectory_parity(R, frozen_factors):
+    """VERDICT r2 #2 + r4 frozen-factor finding: N Adam steps of
+    LoRA-default fine-tuning (``modules/RAGraph.py:122-160`` ``:269-271``
+    ``:335-355``) on identical data/weights in torch and JAX — per-step
+    losses and the final EFFECTIVE tables (base + A@B) must match.
+
+    ``frozen_factors=True`` is the reference DRIVER's real dynamics: its
+    A/B factors are plain tensors (never ``nn.Parameter``), so
+    ``optim.Adam(model.parameters())`` (``utils/trainer.py:19-21``)
+    excludes them and the SVD delta is a frozen additive bias; the torch
+    arm here builds exactly that optimizer set, ours uses
+    ``lora_train_factors=False``. ``False`` is classic trained-factor
+    LoRA (both frameworks opt the factors in by hand).
+    Determinism: edge_dropout=0 (EdgelistDrop keep=1 is exact),
+    emb_dropout=0, renorm time mode, no noise."""
     from ragraph_tpu.models.edge import (EdgeGraphArrays, EdgeModelConfig,
                                          RAGraphEdge)
     from ragraph_tpu.nn.lora import LoRAFactors
@@ -992,7 +1002,8 @@ def test_lora_finetune_trajectory_parity(R):
                           rag_chunk=7, retrieve_num=k, use_lora=True,
                           lora_rank=r, edge_dropout=0.0, emb_dropout=0.0,
                           weight_decay=wd, time_mode="renorm", lr=lr,
-                          lora_init_scale=1.0)  # the reference's SVD init
+                          lora_init_scale=1.0,  # the reference's SVD init
+                          lora_train_factors=not frozen_factors)
     model = RAGraphEdge(cfg, g, phase="finetune")
     params = model.init_params(
         jax.random.key(0),
@@ -1062,10 +1073,14 @@ def test_lora_finetune_trajectory_parity(R):
     ref.edge_times = torch.tensor(times)
     ref.edge_dropout = R.edge_utils.EdgelistDrop()
     ref.train()
-    topt = torch.optim.Adam(
-        [ref.user_embedding, ref.item_embedding, ref.user_embedding_A,
-         ref.user_embedding_B, ref.item_embedding_A, ref.item_embedding_B,
-         ref.gating_weight, ref.gating_bias], lr=lr)
+    # frozen arm = what model.parameters() actually yields in the
+    # reference (plain-tensor A/B excluded); trained arm opts them in
+    topt_params = [ref.user_embedding, ref.item_embedding,
+                   ref.gating_weight, ref.gating_bias]
+    if not frozen_factors:
+        topt_params += [ref.user_embedding_A, ref.user_embedding_B,
+                        ref.item_embedding_A, ref.item_embedding_B]
+    topt = torch.optim.Adam(topt_params, lr=lr)
     ref_losses = []
     tb = (torch.tensor(b_users), torch.tensor(b_pos), torch.tensor(b_neg))
     for _ in range(steps):
