@@ -51,9 +51,11 @@ def build_parser():
                    help="LoRA adapters on the RAGraph finetune tables: "
                         "off (default — beats both LoRA variants on real "
                         "amazon, see EdgeModelConfig.use_lora), zero "
-                        "(zero-delta init), svd (the reference's SVD "
-                        "init, modules/RAGraph.py:122-160 — strict "
-                        "parity)")
+                        "(zero-delta init, trained factors — classic "
+                        "LoRA), svd (strict reference-driver parity: SVD "
+                        "init, modules/RAGraph.py:122-160, with FROZEN "
+                        "A/B factors — the reference's optimizer never "
+                        "sees them, utils/trainer.py:19-21)")
     p.add_argument("--emb-size", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=2048)
