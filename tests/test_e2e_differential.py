@@ -28,6 +28,9 @@ def _load(name):
 def test_static_differential_within_seed_noise():
     out = _load("reference_e2e_differential_static.json")
     assert out["within_seed_noise"], out
+    # the honest criterion (r4): |gap| within 2 SE of the mean
+    # difference — no absolute escape hatches
+    assert abs(out["gap_sigma"]) <= 2.0, out
     # both sides genuinely learned (33% chance on 3 classes)
     assert out["reference"]["mean"] > 80.0
     assert out["ours"]["mean"] > 80.0
@@ -39,5 +42,7 @@ def test_static_differential_within_seed_noise():
 def test_edge_differential_within_seed_noise():
     out = _load("reference_e2e_differential_edge.json")
     assert out["within_noise"], out
+    if "gap_sigma" in out:  # r4 honest criterion (post-LoRA-fix rerun)
+        assert abs(out["gap_sigma"]) <= 2.0, out
     assert out["reference"]["avg_recall"] > 0.0
     assert out["ours"]["avg_recall"] > 0.0
