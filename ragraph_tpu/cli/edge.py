@@ -45,7 +45,8 @@ def build_parser():
     p.add_argument("--selection-dtype", choices=["f32", "bf16"],
                    default="f32",
                    help="bf16: half-width radix k-th selection for the "
-                        "huge-k vanilla fusion, ~1.5x end-to-end (see "
+                        "huge-k vanilla fusion, ~2x end-to-end at half "
+                        "the temp memory (see "
                         "EdgeModelConfig.selection_dtype)")
     p.add_argument("--lora", default="off", choices=["off", "zero", "svd"],
                    help="LoRA adapters on the RAGraph finetune tables: "

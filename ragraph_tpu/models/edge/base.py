@@ -114,8 +114,10 @@ class EdgeModelConfig:
     # (default) keeps the exact f32 k-th-score threshold — bitwise-equal
     # membership to the reference's torch.topk; "bf16" scores the chunk
     # in bf16 and radix-searches 16-bit keys (6 half-width passes vs 11
-    # full-width: 1.76x the selection, ~1.5x the whole fusion measured
-    # at koubei scale; membership admits the bf16 ties at the threshold,
+    # full-width: whole-fusion 4.97 s vs 10.08 s f32 = 2.03x at koubei
+    # scale with half the chunk temp memory — results/
+    # koubei_scale_dryrun{,_bf16}.json, r4 paired capture;
+    # membership admits the bf16 ties at the threshold,
     # a ~1e-3 relative perturbation of a mean over k=100k rows). Only
     # the big_k branch reads this knob.
     selection_dtype: str = "f32"
