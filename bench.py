@@ -21,7 +21,9 @@ Prints ONE JSON line:
   {"metric": "retrieval_qps", "value": <TPU queries/s>,
    "unit": "queries/s", "vs_baseline": <speedup vs torch-CPU>,
    "mfu": <retrieval MFU>, "exact_retrieval_ms": ...,
-   "exact_vs_approx": ..., "int8_retrieval_qps": ..., "int8_recall": ...,
+   "exact_vs_approx": ..., "exact_throughput_ms": ...,
+   "exact_tp_vs_approx": ...,
+   "int8_retrieval_qps": ..., "int8_recall": ...,
    "int8_rescore_qps": ..., "int8_rescore_recall": ...,
    "edge_step_ms": ..., "edge_step_bw_util": ...,
    "library_build_gps": ..., "node_step_ms": ...,
@@ -284,10 +286,14 @@ def bench_tpu():
 
 
 def bench_exact_retrieval(roundtrip):
-    """In-chain ms/batch for the EXACT two-phase bucket top-k
-    (``ops/bucket_topk.bucketed_exact_topk``) on the same workload as
-    :func:`bench_tpu` — captures the exact-vs-approx ratio as a driver
-    number of record (README claims ~1.9x at this shape)."""
+    """(latency_s, throughput_s) per batch for the EXACT two-phase
+    bucket top-k (``ops/bucket_topk.bucketed_exact_topk``) on the same
+    workload as :func:`bench_tpu` — the data-dependent chain captures
+    the historical exact-vs-approx latency ratio (~1.9-2.4x across
+    sessions); the independent chain captures the sustained serving
+    rate, where the phases of successive batches pipeline and exact
+    runs FASTER than approx (r4 finding,
+    benchmarks/bench_exact_phases.py)."""
     import jax
     import jax.numpy as jnp
     from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
@@ -314,7 +320,30 @@ def bench_exact_retrieval(roundtrip):
         t0 = time.perf_counter()
         float(chain(queries, keys_n))
         totals.append(time.perf_counter() - t0)
-    return max((min(totals) - roundtrip) / ITERS, 1e-9)
+    dt_lat = max((min(totals) - roundtrip) / ITERS, 1e-9)
+
+    # THROUGHPUT arm (r4): ITERS *independent* batches in one jit —
+    # glue/rescore of batch n pipeline behind batch n+1's score matmul,
+    # the rate a serving stream sustains. Measured FASTER than approx
+    # at this shape (~0.98 vs ~1.69 ms: the latency ratio is chain
+    # structure, not extra work — benchmarks/bench_exact_phases.py).
+    q_n = l2_normalize(queries).astype(jnp.bfloat16)
+
+    @jax.jit
+    def chain_tp(q, kn):
+        def body(_, acc):
+            s, _ = bucketed_exact_topk(q, kn, K)
+            return acc + s[0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(chain_tp(q_n, keys_n))  # compile
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain_tp(q_n, keys_n))
+        totals.append(time.perf_counter() - t0)
+    dt_tp = max((min(totals) - roundtrip) / ITERS, 1e-9)
+    return dt_lat, dt_tp
 
 
 def bench_edge_step(roundtrip):
@@ -665,7 +694,7 @@ def main():
 
     (tpu_qps, recall, dt, flops_s, roundtrip, i8_qps, i8_recall,
      i8rs_qps, i8rs_recall) = bench_tpu()
-    exact_dt = bench_exact_retrieval(roundtrip)
+    exact_dt, exact_tp_dt = bench_exact_retrieval(roundtrip)
     edge_dt, _, edge_bytes_s = bench_edge_step(roundtrip)  # FLOP/s unused:
     # the edge step is gather-bound, HBM bandwidth is its ceiling
     lib_gps = bench_library_build()
@@ -693,8 +722,9 @@ def main():
     print(f"# R={R} E={E} Q={Q} k={K}: TPU {tpu_qps:,.0f} q/s "
           f"({dt*1e3:.3f} ms/batch, recall@{K} vs f32 = {recall:.4f}, "
           f"{flops_s/1e12:.1f} TFLOP/s = {mfu} MFU); "
-          f"exact top-k {exact_dt*1e3:.2f} ms/batch "
-          f"({exact_dt/dt:.2f}x approx); "
+          f"exact top-k {exact_dt*1e3:.2f} ms/batch latency "
+          f"({exact_dt/dt:.2f}x approx), {exact_tp_dt*1e3:.2f} ms "
+          f"sustained ({exact_tp_dt/dt:.2f}x approx); "
           f"int8 tier {i8_qps:,.0f} q/s (recall {i8_recall:.4f}); "
           f"int8+rescore {i8rs_qps:,.0f} q/s "
           f"(recall {i8rs_recall:.4f}); "
@@ -714,6 +744,11 @@ def main():
         "mfu": mfu,
         "exact_retrieval_ms": round(exact_dt * 1e3, 3),
         "exact_vs_approx": round(exact_dt / dt, 2),
+        # sustained rate over independent batches (phases pipeline;
+        # approx gains nothing from the same chain — measured equal to
+        # its latency, benchmarks/bench_exact_phases.py)
+        "exact_throughput_ms": round(exact_tp_dt * 1e3, 3),
+        "exact_tp_vs_approx": round(exact_tp_dt / dt, 2),
         "int8_retrieval_qps": round(i8_qps, 1),
         "int8_recall": round(i8_recall, 4),
         "int8_rescore_qps": round(i8rs_qps, 1),

@@ -1,10 +1,20 @@
 """Phase-level breakdown of the exact bucketed top-k (VERDICT r3 #5).
 
-The two-phase exact kernel (ops/bucket_topk) runs ~2x the approx
-PartialReduce path. KERNEL_NOTES argues the residual is structural
-(phase 1's tile-then-reduce vs approx's in-epilogue reduction), but the
-claim has never been decomposed on-chip. This times, at the bench shape
-(R=262k, Q=2048, E=128, k=10), each stage in isolation:
+Two chaining modes, measuring two different deployment quantities:
+
+* **latency** — ITERS iterations with a true data dependency (the
+  result perturbs the next query, the r3 harness style): each batch
+  must finish before the next starts. This is where the historical
+  "exact ≈ 2x approx" ratio lives.
+* **throughput** — ITERS *independent* iterations in one jit: XLA/the
+  chip overlap the phases of successive batches (glue/rescore of batch
+  n hide behind the score matmul of batch n+1). This is the sustained
+  rate a serving stream sees. First measured r4: the exact pipeline
+  sustains ~0.98 ms/batch at the bench shape — FASTER than
+  lax.approx_max_k (~1.69 ms), which gains nothing from pipelining.
+
+Per-phase arms (throughput-chained; additivity only holds in latency
+mode, so the per-phase numbers bound each stage alone):
 
   approx        lax.approx_max_k chain (the target)
   full          bucketed_exact_topk chain
@@ -13,13 +23,11 @@ claim has never been decomposed on-chip. This times, at the bench shape
                 phase1 minus the 128-group max (isolates the reduce)
   glue          column_topk over the (nb, Q) bucket-max matrix +
                 pair sort/scatter assignment build
-  phase23       rescore + scatter + final row_topk given a fixed
-                assignment
 
-If phase1 ≈ matmul_proxy, the extra VPU pass is already overlapped and
-the 2x lives in the glue/rescore — attack there. If phase1 >>
-matmul_proxy, the reduce pass is the cost and the structural argument
-stands (record the numbers in KERNEL_NOTES either way).
+r4 finding: phase1 - matmul_proxy = 0.06 ms — the 128-group max the
+structural argument blamed is nearly free; the latency gap is the
+serialized glue (~0.88 ms, nearly a whole matmul) + rescore, and it
+pipelines away entirely under independent batches.
 
 Usage: python benchmarks/bench_exact_phases.py   (real TPU)
 """
@@ -54,7 +62,9 @@ def main():
     nb = R // LANE
 
     def timed_chain(fn, *args):
-        """fn(*args) -> array; chained ITERS times with a data dep."""
+        """THROUGHPUT: ITERS independent evaluations in one jit —
+        successive iterations may pipeline (fn must reduce to a
+        scalar)."""
         @jax.jit
         def chain(*a):
             def body(_, carry):
@@ -69,6 +79,25 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / ITERS
 
+    def timed_chain_dep(fn, q, *args):
+        """LATENCY: the result perturbs the next query (true data
+        dependency, the r3 harness style). fn -> (Q,k) scores."""
+        @jax.jit
+        def chain(qq0, *a):
+            def body(_, carry):
+                qq, acc = carry
+                s = fn(qq, *a)
+                return qq + 1e-6 * s[:, :1], acc + s[0, 0]
+            return jax.lax.fori_loop(
+                0, ITERS, body, (qq0, jnp.float32(0)))[1]
+        float(chain(q, *args))  # compile+warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(q, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best / ITERS
+
     # --- approx target ---
     def approx(q, kn):
         s = jnp.dot(q, kn.T, preferred_element_type=jnp.float32)
@@ -77,6 +106,15 @@ def main():
 
     dt_approx = timed_chain(approx, q_bf, keys)
 
+    def approx_vals(qq, kn):
+        s = jnp.dot(qq.astype(jnp.bfloat16), kn.T,
+                    preferred_element_type=jnp.float32)
+        v, _ = jax.lax.approx_max_k(s, K, recall_target=0.99)
+        return v
+
+    dt_approx_lat = timed_chain_dep(approx_vals, l2_normalize(queries),
+                                    keys)
+
     # --- full exact ---
     def full(q, kn):
         v, _ = bucketed_exact_topk(q, kn, K, block_q=BLOCK_Q,
@@ -84,6 +122,13 @@ def main():
         return v[0, 0]
 
     dt_full = timed_chain(full, l2_normalize(queries), keys)
+
+    def full_vals(qq, kn):
+        v, _ = bucketed_exact_topk(qq.astype(jnp.bfloat16), kn, K,
+                                   block_q=BLOCK_Q, block_r=BLOCK_R)
+        return v
+
+    dt_full_lat = timed_chain_dep(full_vals, l2_normalize(queries), keys)
 
     # --- phase 1 alone ---
     def phase1(q, kn, vmm):
@@ -161,19 +206,40 @@ def main():
 
     dt_glue = timed_chain(glue, bm_fixed)
 
-    dt_phase23 = dt_full - dt_phase1 - dt_glue  # residual estimate
-
     print(f"R={R} Q={Q} E={E} k={K} "
           f"(block_q={BLOCK_Q}, block_r={BLOCK_R}), ms/batch:")
+    print("LATENCY (data-dependent chain — each batch waits):")
+    print(f"  approx        {dt_approx_lat*1e3:7.3f}")
+    print(f"  full exact    {dt_full_lat*1e3:7.3f}  "
+          f"({dt_full_lat/dt_approx_lat:.2f}x approx)")
+    lat_p23 = dt_full_lat - dt_phase1 - dt_glue
+    print(f"  phase2+3 est  {lat_p23*1e3:7.3f}  "
+          "(latency residual over phase1+glue below)")
+    print("THROUGHPUT (independent batches pipeline in one jit):")
     print(f"  approx        {dt_approx*1e3:7.3f}")
     print(f"  full exact    {dt_full*1e3:7.3f}  "
-          f"({dt_full/dt_approx:.2f}x approx)")
+          f"({dt_full/dt_approx:.2f}x approx — <1 means exact is "
+          "FASTER sustained)")
     print(f"  phase1        {dt_phase1*1e3:7.3f}  "
           f"({dt_phase1/dt_approx:.2f}x approx)")
     print(f"  matmul proxy  {dt_mm*1e3:7.3f}  "
           f"(reduce adds {max(dt_phase1-dt_mm,0)*1e3:.3f})")
     print(f"  glue          {dt_glue*1e3:7.3f}")
-    print(f"  phase2+3 est  {dt_phase23*1e3:7.3f}  (residual)")
+
+    import json
+    out = {"R": R, "Q": Q, "E": E, "k": K,
+           "block_q": BLOCK_Q, "block_r": BLOCK_R,
+           "latency_ms": {"approx": dt_approx_lat * 1e3,
+                          "full_exact": dt_full_lat * 1e3,
+                          "ratio": dt_full_lat / dt_approx_lat},
+           "throughput_ms": {"approx": dt_approx * 1e3,
+                             "full_exact": dt_full * 1e3,
+                             "phase1": dt_phase1 * 1e3,
+                             "matmul_proxy": dt_mm * 1e3,
+                             "glue": dt_glue * 1e3,
+                             "ratio": dt_full / dt_approx}}
+    with open("results/exact_phases.json", "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
