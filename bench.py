@@ -327,12 +327,18 @@ def bench_exact_retrieval(roundtrip):
     # the rate a serving stream sustains. Measured FASTER than approx
     # at this shape (~0.98 vs ~1.69 ms: the latency ratio is chain
     # structure, not extra work — benchmarks/bench_exact_phases.py).
+    # Each iteration's query is perturbed by the LOOP INDEX (not the
+    # previous result): iterations stay independent (free to pipeline)
+    # but are distinct computations — a loop-invariant body here lets
+    # XLA elide the work entirely (r4 smoke run reported 0.106 ms/batch
+    # = an impossible >1 PFLOP/s; the loop had been collapsed).
     q_n = l2_normalize(queries).astype(jnp.bfloat16)
 
     @jax.jit
     def chain_tp(q, kn):
-        def body(_, acc):
-            s, _ = bucketed_exact_topk(q, kn, K)
+        def body(i, acc):
+            qi = q + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            s, _ = bucketed_exact_topk(qi, kn, K)
             return acc + s[0, 0]
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
