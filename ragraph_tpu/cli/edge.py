@@ -70,6 +70,13 @@ def build_parser():
     p.add_argument("--save-dir", default="saved")
     p.add_argument("--pre-model-path", default=None,
                    help="pretrained checkpoint (embeddings) to load")
+    p.add_argument("--stage-ckpt-dir", default=None,
+                   help="checkpoint the staged loop's state after every "
+                        "stage (atomic; survives crashes/preemption)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --stage-ckpt-dir: continue after the last "
+                        "completed stage; bit-equal to an uninterrupted "
+                        "run (tests/test_staged_resume.py)")
     p.add_argument("--mesh", default=None, metavar="dp=D,idx=I",
                    help="multi-chip layout: batches shard over dp (XLA "
                         "inserts the gradient all-reduce); idx>1 "
@@ -290,14 +297,16 @@ def run_finetune(args):
             key=jr.key(args.seed), model_cls=_model_cls(args),
             mode=_dynamic_mode(args), hour_interval=args.hour_interval,
             num_epochs=args.epochs, logger=log, mesh=mesh,
-            val_rows=val_rows)
+            val_rows=val_rows, checkpoint_dir=args.stage_ckpt_dir,
+            resume=args.resume)
     else:
         result = staged_finetune(
             train_rows, ft_rows, stage_rows, tables,
             cfg_factory=lambda phase: _cfg(args, phase, name),
             key=jr.key(args.seed), hour_interval=args.hour_interval,
             updt_inter=args.updt_inter, num_epochs=args.epochs, logger=log,
-            model_cls=_model_cls(args), mesh=mesh, val_rows=val_rows)
+            model_cls=_model_cls(args), mesh=mesh, val_rows=val_rows,
+            checkpoint_dir=args.stage_ckpt_dir, resume=args.resume)
     log(f"recalls: {result.recalls}")
     log(f"ndcgs:   {result.ndcgs}")
     log(f"avg recall {result.avg_recall:.5f} avg ndcg {result.avg_ndcg:.5f}")

@@ -18,6 +18,8 @@ stage ``s`` over ``test_1..test_N``:
 from __future__ import annotations
 
 import dataclasses
+import os
+import pickle
 from typing import Callable
 
 import jax
@@ -98,6 +100,48 @@ def interpolative_merge(pretrain_tables: dict, recent_tables: list,
     return out
 
 
+def _stage_state_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "staged_state.pkl")
+
+
+def _save_stage_state(checkpoint_dir: str, state: dict) -> None:
+    """Atomically persist the staged loop's carried state.
+
+    The reference saves per-stage *models* (``finetune_rag.py:163``,
+    reloaded for the interpolative merge at ``:63-66``) but the loop
+    state itself (stage index, collected recalls) dies with the
+    process — a crash at stage 7 of 8 restarts from stage 1. This
+    checkpoints everything a stage consumes from earlier stages, so a
+    resumed run reproduces the uninterrupted trajectory exactly (all
+    per-stage randomness is ``fold_in(key, stage)``-derived; see
+    ``tests/test_staged_resume.py`` for the bit-equality assertion).
+    Write-to-temp + ``os.replace`` keeps a crash mid-write from
+    corrupting the previous stage's state.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _host(x):
+        a = np.asarray(x)
+        # scalars stay Python numbers: restored metric lists feed
+        # json.dump downstream (cli.edge result files)
+        return a.item() if a.ndim == 0 else a
+
+    host = jax.tree.map(_host, state)
+    path = _stage_state_path(checkpoint_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f)
+    os.replace(tmp, path)
+
+
+def _load_stage_state(checkpoint_dir: str) -> dict | None:
+    path = _stage_state_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 @dataclasses.dataclass
 class StageResult:
     recalls: list
@@ -119,7 +163,10 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
                    num_epochs: int | None = None,
                    meta_weight: float = 0.9,
                    logger: Callable = print, mesh=None,
-                   val_rows: list | None = None) -> "StageResult":
+                   val_rows: list | None = None,
+                   checkpoint_dir: str | None = None,
+                   resume: bool = False,
+                   stop_after_stage: int | None = None) -> "StageResult":
     """Staged training for the dynamic-GNN baselines.
 
     Parity with the reference's dynamic driver pattern
@@ -144,11 +191,23 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
     tables = dict(pretrain_tables)
     meta_params = None
     last_emb = None
+    start_stage = 1
+    if checkpoint_dir is not None and resume:
+        state = _load_stage_state(checkpoint_dir)
+        if state is not None:
+            tables = dict(state["tables"])
+            meta_params = state["meta_params"]
+            last_emb = (jnp.asarray(state["last_emb"])
+                        if state["last_emb"] is not None else None)
+            recalls, ndcgs = list(state["recalls"]), list(state["ndcgs"])
+            start_stage = int(state["stage"]) + 1
+            logger(f"resuming dynamic staged loop after completed stage "
+                   f"{state['stage']} ({checkpoint_dir})")
     # one edge-array shape across stages -> one compiled step (see
     # staged_finetune)
     ft_bucket = -((-2 * max(len(r) for r in all_rows[1:-1])) // 4096) * 4096
 
-    for stage in range(1, len(stage_rows) + 1):
+    for stage in range(start_stage, len(stage_rows) + 1):
         k_stage = jax.random.fold_in(key, stage)
         ft_idx = stage
         ft_dataset = load_edge_dataset(
@@ -205,6 +264,14 @@ def staged_dynamic(pretrain_rows, finetune_rows, stage_rows: list,
         last_emb = jnp.concatenate([u_emb, i_emb], axis=0)
         logger(f"stage {stage}: recall={recalls[-1]:.4f} "
                f"ndcg={ndcgs[-1]:.4f}")
+        if checkpoint_dir is not None:
+            _save_stage_state(checkpoint_dir, {
+                "stage": stage, "tables": tables,
+                "meta_params": meta_params, "last_emb": last_emb,
+                "recalls": recalls, "ndcgs": ndcgs})
+        if stop_after_stage is not None and stage >= stop_after_stage:
+            logger(f"stopping after stage {stage} (stop_after_stage)")
+            break
 
     return StageResult(recalls=recalls, ndcgs=ndcgs)
 
@@ -215,7 +282,10 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
                     updt_inter: int = 1, num_epochs: int | None = None,
                     logger: Callable = print,
                     model_cls=RAGraphEdge, mesh=None,
-                    val_rows: list | None = None) -> StageResult:
+                    val_rows: list | None = None,
+                    checkpoint_dir: str | None = None,
+                    resume: bool = False,
+                    stop_after_stage: int | None = None) -> StageResult:
     """Run the staged loop.
 
     Args:
@@ -238,6 +308,16 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         val-only max id makes imported reference checkpoints fail the
         row-count validation (found by the r4 e2e edge differential at
         4000 users).
+      checkpoint_dir: if set, the loop state (stage index, the last
+        ``updt_inter`` stage tables, collected metrics) is atomically
+        checkpointed after every stage (see :func:`_save_stage_state`).
+      resume: with ``checkpoint_dir``, pick up after the last completed
+        stage; the resumed trajectory is bit-equal to an uninterrupted
+        run on CPU (every stage's randomness is derived from
+        ``fold_in(key, stage)``, never from loop history).
+      stop_after_stage: return after this stage completes (checkpoint
+        still written) — chunk a long staged run across sessions, or
+        inject a "crash" in tests.
     """
     base_ds = load_edge_dataset(
         pretrain_rows,
@@ -250,6 +330,15 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
     _validate_stage_ids(all_rows, num_users, num_items)
     saved_tables: list[dict] = []
     recalls, ndcgs = [], []
+    start_stage = 1
+    if checkpoint_dir is not None and resume:
+        state = _load_stage_state(checkpoint_dir)
+        if state is not None:
+            saved_tables = list(state["saved_tables"])
+            recalls, ndcgs = list(state["recalls"]), list(state["ndcgs"])
+            start_stage = int(state["stage"]) + 1
+            logger(f"resuming staged loop after completed stage "
+                   f"{state['stage']} ({checkpoint_dir})")
 
     def _bucket(n_rows: int) -> int:
         # bidirectional edges, rounded up so every stage hits one bucket
@@ -268,7 +357,7 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         g = EdgeGraphArrays.from_dataset(ds)
         return g.with_sharding(n_shards) if n_shards > 1 else g
 
-    for stage in range(1, len(stage_rows) + 1):
+    for stage in range(start_stage, len(stage_rows) + 1):
         k_stage = jax.random.fold_in(key, stage)
         test_idx = stage + 1
         ft_idx = test_idx - 1
@@ -340,5 +429,15 @@ def staged_finetune(pretrain_rows, finetune_rows, stage_rows: list,
         })
         logger(f"stage {stage}: recall={recalls[-1]:.4f} "
                f"ndcg={ndcgs[-1]:.4f}")
+        if checkpoint_dir is not None:
+            # only the last updt_inter tables feed future merges — the
+            # checkpoint stays O(updt_inter) regardless of stage count
+            _save_stage_state(checkpoint_dir, {
+                "stage": stage,
+                "saved_tables": saved_tables[-updt_inter:],
+                "recalls": recalls, "ndcgs": ndcgs})
+        if stop_after_stage is not None and stage >= stop_after_stage:
+            logger(f"stopping after stage {stage} (stop_after_stage)")
+            break
 
     return StageResult(recalls=recalls, ndcgs=ndcgs)

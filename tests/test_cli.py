@@ -119,6 +119,32 @@ def test_edge_staged_finetune(workdir):
     assert len(result.recalls) == 4
 
 
+def test_edge_staged_finetune_resume_flags(workdir):
+    """--stage-ckpt-dir writes per-stage loop state; a rerun with
+    --resume continues after the last completed stage and reproduces
+    the stored metrics (bit-equality is pinned at the API level in
+    tests/test_staged_resume.py)."""
+    edge_cli.main(["pretrain", "--data-path", "SYNTH", "--emb-size", "8",
+                   "--epochs", "2", "--batch-size", "128",
+                   "--save-dir", str(workdir / "s")])
+    ckpt = str(workdir / "stage_ckpt")
+    first = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "2", "--batch-size", "128",
+         "--save-dir", str(workdir / "s"),
+         "--stage-ckpt-dir", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "staged_state.pkl"))
+    resumed = edge_cli.main(
+        ["finetune", "--data-path", "SYNTH", "--emb-size", "8",
+         "--epochs", "2", "--batch-size", "128",
+         "--save-dir", str(workdir / "s"),
+         "--stage-ckpt-dir", ckpt, "--resume"])
+    # every stage already completed -> returns stored metrics untouched
+    np.testing.assert_array_equal(
+        np.asarray(resumed.recalls, dtype=np.float64),
+        np.asarray(first.recalls, dtype=np.float64))
+
+
 @pytest.mark.parametrize("lora", ["zero", "svd"])
 def test_edge_finetune_lora_flag(workdir, lora):
     """--lora zero|svd turns the opt-in LoRA adapters on (svd = the
