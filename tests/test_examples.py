@@ -1,0 +1,18 @@
+"""Guard: the runnable examples stay runnable (fresh subprocess each —
+they force the CPU backend themselves)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script", ["quickstart.py", "serving.py"])
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", script)],
+        capture_output=True, text=True, timeout=600, cwd=ROOT)
+    assert proc.returncode == 0, proc.stderr[-2000:]
