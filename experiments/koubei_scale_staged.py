@@ -129,10 +129,17 @@ def main():
         log(msg)
 
     t_start = time.time()
+    # per-stage checkpointing: at 245 s/stage a mid-run tunnel stall or
+    # timeout no longer restarts the protocol — rerunning this script
+    # with RESUME=1 continues after the last completed stage (the
+    # synthetic stream is seed-deterministic, so the resumed trajectory
+    # is the uninterrupted one; tests/test_staged_resume.py pins this)
     res = staged_finetune(pretrain_rows, ft_rows, stage_rows, tables,
                           cfg_factory=lambda phase: cfg_factory(phase),
                           key=jr.key(2), num_epochs=STAGE_EPOCHS,
-                          logger=marking_logger)
+                          logger=marking_logger,
+                          checkpoint_dir="/tmp/koubei_staged_ckpt",
+                          resume=bool(os.environ.get("RESUME")))
     t_staged = time.time() - t_start
 
     chance = 20.0 / I
