@@ -261,6 +261,10 @@ def run_finetune(args):
     from ragraph_tpu.train import RunLogger, restore_checkpoint
     from ragraph_tpu.utils import seed_everything
 
+    if args.resume and not args.stage_ckpt_dir:
+        raise SystemExit("--resume needs --stage-ckpt-dir (nowhere to "
+                         "load the staged state from)")
+
     log = RunLogger(save_dir=args.save_dir, exp_name="edge-finetune")
     seed_everything(args.seed)
     train_rows, val_rows, ft_rows, stage_rows = _load_rows(args)
