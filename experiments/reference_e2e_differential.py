@@ -76,16 +76,18 @@ def _force_cpu():
 # fake-PyG scaffolding (torch_geometric is not installed)
 # ---------------------------------------------------------------------------
 class FakeGraph:
-    __slots__ = ("x", "edge_index")
+    __slots__ = ("x", "edge_index", "y")
 
-    def __init__(self, x, edge_index):
+    def __init__(self, x, edge_index, y=None):
         self.x = x
         self.edge_index = edge_index
+        self.y = y
 
 
 class FakeBatch:
     """What ``process_tu``/``process_tu_dataset`` read from a PyG Batch
-    (``RAGraph_node/utils/process.py:29-33``)."""
+    (``RAGraph_node/utils/process.py:29-33``; the graph drivers also read
+    the batch-level ``data.y`` — ``RAGraph_graph/finetune-rag.py:86``)."""
 
     def __init__(self, graphs):
         self._graphs = graphs
@@ -98,24 +100,43 @@ class FakeBatch:
     def num_features(self):
         return self._graphs[0].x.shape[1]
 
+    @property
+    def y(self):
+        return torch.cat([g.y for g in self._graphs])
+
+    @property
+    def ptr(self):
+        # PyG's per-graph node-offset vector (the graph ToyGraphBase
+        # asserts single-graph batches via it, ToyGraphBase.py:50)
+        sizes = [0] + [g.x.shape[0] for g in self._graphs]
+        return torch.tensor(sizes, dtype=torch.long).cumsum(0)
+
     def __getitem__(self, g):
         return self._graphs[g]
 
 
 class FakeDataset:
     """TUDataset stand-in: len / int-or-slice getitem / shuffle()
-    (finetune-rag.py:52-55 relies on exactly these)."""
+    (finetune-rag.py:52-55 relies on exactly these; the graph RAGraph
+    constructor additionally reads ``.name`` —
+    ``RAGraph_graph/RAGraph.py:43``)."""
 
-    def __init__(self, graphs, num_node_attributes):
+    def __init__(self, graphs, num_node_attributes, name="SYNTH",
+                 num_classes=None):
         self.graphs = list(graphs)
         self.num_node_attributes = num_node_attributes
+        self.name = name
+        # the graph ToyGraphBase reads the dataset's graph-class count
+        # (RAGraph_graph/ragraph_utils/ToyGraphBase.py:45)
+        self.num_classes = num_classes
 
     def __len__(self):
         return len(self.graphs)
 
     def __getitem__(self, idx):
         if isinstance(idx, slice):
-            return FakeDataset(self.graphs[idx], self.num_node_attributes)
+            return FakeDataset(self.graphs[idx], self.num_node_attributes,
+                               self.name, self.num_classes)
         return self.graphs[idx]
 
     def shuffle(self):
@@ -123,7 +144,8 @@ class FakeDataset:
         # the protocol seeds via seed_everything — same here.
         perm = torch.randperm(len(self.graphs)).tolist()
         return FakeDataset([self.graphs[i] for i in perm],
-                           self.num_node_attributes)
+                           self.num_node_attributes, self.name,
+                           self.num_classes)
 
 
 class FakeLoader:
@@ -156,14 +178,20 @@ class FakeLoader:
 def to_fake_dataset(ds):
     """Our TUDataset -> fake-PyG (x = [attributes ‖ one-hot node label],
     exactly the TUDataset(use_node_attr=True) column layout the
-    reference slices apart in process_tu)."""
+    reference slices apart in process_tu; ``y`` = the graph label the
+    graph-level drivers read)."""
     graphs = []
     for g in ds.graphs:
         x = np.concatenate([g.features, g.node_labels], axis=1)
         src, dst = np.nonzero(g.adj)
         ei = torch.tensor(np.stack([src, dst]), dtype=torch.long)
-        graphs.append(FakeGraph(torch.tensor(x, dtype=torch.float32), ei))
-    return FakeDataset(graphs, ds.num_node_attributes)
+        y = torch.tensor([int(getattr(g, "graph_label", 0) or 0)],
+                         dtype=torch.long)
+        graphs.append(FakeGraph(torch.tensor(x, dtype=torch.float32), ei,
+                                y=y))
+    return FakeDataset(graphs, ds.num_node_attributes, name=ds.name,
+                       num_classes=max(ds.num_node_classes,
+                                       ds.num_graph_classes))
 
 
 # ---------------------------------------------------------------------------

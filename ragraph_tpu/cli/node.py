@@ -40,6 +40,11 @@ def build_parser():
                         "(models/graphcl.py:29-41); the reference's live "
                         "loss is lp (RAGraph_node/preprompt.py:50-55)")
     p.add_argument("--encoder-layers", type=int, default=1)
+    p.add_argument("--lp-samples", type=int, default=100,
+                   help="negatives per node for the Lp pretrain tuples "
+                        "(the node driver passes 100, the graph driver 50 "
+                        "— RAGraph_node/pretrain.py:118, "
+                        "RAGraph_graph/pretrain.py:85)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--pretrain-epochs", type=int, default=30)
     p.add_argument("--epochs", type=int, default=50)
@@ -170,7 +175,7 @@ def run_pretrain(args):
             raw = raw_adj > 0
             np.fill_diagonal(raw, False)
             tuples = jnp.asarray(prompt_pretrain_sample(
-                raw.astype(np.float32), 100, rng, mask_host))
+                raw.astype(np.float32), args.lp_samples, rng, mask_host))
             params, opt_state, loss = step(
                 params, opt_state, g.features, g.adj, tuples, g.node_mask,
                 jr.fold_in(jr.key(args.seed + 2), epoch * 1000 + nb))

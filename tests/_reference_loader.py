@@ -289,6 +289,56 @@ def interpolative_merge_reference(all_state_dict: list, interval: int,
     return scope["state_dict"]
 
 
+def _load_graph_driver(ns: SimpleNamespace):
+    """RAGraph_graph: the full DRIVER stack (pretrain.py + finetune-rag.py
+    protocol pieces) — preprompt (with the graph tree's models/layers),
+    utils/process, aug, and ragraph_utils.utility — for the graph-level
+    e2e differential. ``graph_RAGraph``/``graph_ToyGraphBase`` themselves
+    are loaded by ``_load_node``; this adds what the graph *drivers* read
+    (``RAGraph_graph/pretrain.py:10-60``, ``finetune-rag.py:10-12``)."""
+    GRAPH = f"{REF}/RAGraph_graph"
+    ns.graph_process = _load_file("refgraph_process",
+                                  f"{GRAPH}/utils/process.py")
+    ns.graph_aug = _load_file("refgraph_aug", f"{GRAPH}/aug.py")
+    ns.graph_utility = _load_file("refgraph_utility",
+                                  f"{GRAPH}/ragraph_utils/utility.py")
+
+    saved_path = list(sys.path)
+    sys.path.insert(0, GRAPH)
+    try:
+        layers = types.ModuleType("layers")
+        layers.__path__ = [f"{GRAPH}/layers"]
+        sys.modules["layers"] = layers
+        import layers.discriminator  # noqa: F401
+        import layers.discriminator2  # noqa: F401
+        import layers.gcn  # noqa: F401
+        import layers.readout  # noqa: F401
+        layers.GCN = layers.gcn.GCN
+        layers.AvgReadout = layers.readout.AvgReadout
+        layers.Discriminator = layers.discriminator.Discriminator
+        layers.Discriminator2 = layers.discriminator2.Discriminator2
+
+        models = types.ModuleType("models")
+        models.__path__ = [f"{GRAPH}/models"]
+        sys.modules["models"] = models
+        import models.LP  # noqa: F401
+        import models.dgi  # noqa: F401
+        import models.graphcl  # noqa: F401
+        import models.logreg  # noqa: F401
+        models.DGI = models.dgi.DGI
+        models.GraphCL = models.graphcl.GraphCL
+        models.Lp = models.LP.Lp
+        models.LogReg = models.logreg.LogReg
+        import models.gcnlayers  # noqa: F401
+        models.GcnLayers = models.gcnlayers.GcnLayers
+
+        import preprompt as graph_preprompt  # noqa: F401
+        ns.graph_preprompt = graph_preprompt
+    finally:
+        sys.path[:] = saved_path
+        _purge(["layers", "models", "preprompt", "utils"])
+
+
 def load_reference() -> SimpleNamespace:
     """Load (once) and return every reference symbol the parity tests use."""
     if "ref" not in _CACHE:
@@ -298,3 +348,11 @@ def load_reference() -> SimpleNamespace:
         _load_edge(ns)
         _CACHE["ref"] = ns
     return _CACHE["ref"]
+
+
+def load_graph_driver() -> SimpleNamespace:
+    """``load_reference()`` plus the RAGraph_graph driver stack."""
+    ns = load_reference()
+    if not hasattr(ns, "graph_preprompt"):
+        _load_graph_driver(ns)
+    return ns
