@@ -39,6 +39,17 @@ def test_static_differential_within_seed_noise():
     assert len(out["ours"]["accuracy"]) == 5
 
 
+def test_graph_differential_within_seed_noise():
+    out = _load("reference_e2e_differential_graph.json")
+    assert out["within_seed_noise"], out
+    assert abs(out["gap_sigma"]) <= 2.0, out
+    # both sides genuinely learned (33% chance on 3 graph classes)
+    assert out["reference"]["mean"] > 60.0
+    assert out["ours"]["mean"] > 60.0
+    assert len(out["reference"]["accuracy"]) == 5
+    assert len(out["ours"]["accuracy"]) == 5
+
+
 def test_edge_differential_within_seed_noise():
     out = _load("reference_e2e_differential_edge.json")
     assert out["within_noise"], out
