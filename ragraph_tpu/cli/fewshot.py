@@ -35,8 +35,27 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--retrieve-num", type=int, default=5)
+    p.add_argument("--retrieve-weight", type=float, default=None,
+                   help="override the per-dataset fusion weight table "
+                        "(the reference hardwires weights by dataset name "
+                        "and raises on unknown names, RAGraph_node_fewshot/"
+                        "RAGraph.py:24-33)")
+    p.add_argument("--label-weight", type=float, default=None)
     p.add_argument("--test-times", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience on epoch loss with best-state "
+                        "restore (the reference drivers' best-loss "
+                        "checkpointing, RAGraph_node_fewshot/"
+                        "finetune-rag.py:111-120; default: off, train all "
+                        "--epochs and keep the final state)")
+    p.add_argument("--support-dir", default=None,
+                   help="load k-shot support sets from <dir>/<task>.npz "
+                        "(falling back to <dir>/support.npz, the graph "
+                        "driver's single shared set) instead of sampling; "
+                        "keys: features/labels/adj, + graph_len at "
+                        "--level graph. Produced by "
+                        "ragraph_tpu.data.fewshot_export.")
     p.add_argument("--noise", action="store_true")
     p.add_argument("--save-dir", default="modelset")
     p.add_argument("--results-dir", default="results")
@@ -62,7 +81,8 @@ def main(argv=None):
 
     from ragraph_tpu.data import (flat_batches, load_tu_dataset,
                                   stacked_batches, synthetic_tu_dataset)
-    from ragraph_tpu.data.fewshot_export import sample_k_shot_nodes
+    from ragraph_tpu.data.fewshot_export import (sample_k_shot_graphs,
+                                                 sample_k_shot_nodes)
     from ragraph_tpu.models import (FEWSHOT_NODE_WEIGHTS,
                                     FEWSHOT_GRAPH_WEIGHTS,
                                     FewshotSupportSet, RAGraphFewshot,
@@ -107,6 +127,10 @@ def main(argv=None):
     weights = (FEWSHOT_NODE_WEIGHTS if args.level == "node"
                else FEWSHOT_GRAPH_WEIGHTS)
     rw, lw = weights.get(args.dataset, (0.5, 0.5))
+    if args.retrieve_weight is not None:
+        rw = args.retrieve_weight
+    if args.label_weight is not None:
+        lw = args.label_weight
     finetune = args.mode == "finetune"
 
     from ragraph_tpu.cli.node import _make_mesh
@@ -122,12 +146,31 @@ def main(argv=None):
         test = dsi.subset(.8, 1)
         pad = args.batch_size * max(g.features.shape[0] for g in ds.graphs)
 
-        feats, labels, adj = sample_k_shot_nodes(train, args.shots,
-                                                 num_class, rng)
-        support = FewshotSupportSet(features=jnp.asarray(feats),
-                                    adj=jnp.asarray(adj),
-                                    labels=jnp.asarray(labels,
-                                                       dtype=jnp.int32))
+        graph_ids = None
+        if args.support_dir is not None:
+            path = os.path.join(args.support_dir, f"{task_i}.npz")
+            if not os.path.exists(path):
+                # the reference graph-fewshot driver loads ONE support
+                # set shared by every task (finetune-rag.py:51-55)
+                path = os.path.join(args.support_dir, "support.npz")
+            data = np.load(path)
+            feats, labels, adj = (data["features"], data["labels"],
+                                  data["adj"])
+            if "graph_len" in data:
+                lens = data["graph_len"]
+                graph_ids = np.repeat(np.arange(len(lens)), lens)
+        elif args.level == "graph":
+            feats, adj, labels, lens = sample_k_shot_graphs(
+                train, args.shots, num_class, rng)
+            graph_ids = np.repeat(np.arange(len(lens)), lens)
+        else:
+            feats, labels, adj = sample_k_shot_nodes(train, args.shots,
+                                                     num_class, rng)
+        support = FewshotSupportSet(
+            features=jnp.asarray(feats), adj=jnp.asarray(adj),
+            labels=jnp.asarray(labels, dtype=jnp.int32),
+            graph_ids=(None if graph_ids is None
+                       else jnp.asarray(graph_ids, dtype=jnp.int32)))
 
         libcfg = fewshot_library_config(retrieve_num=args.retrieve_num)
         cfg = RAGraphFewshotConfig(
@@ -197,6 +240,7 @@ def main(argv=None):
                 from ragraph_tpu.parallel import shard_batch
                 batches = [shard_batch(mesh, b) for b in batches]
             opt_state = opt.init(state.encoder_params)
+            best_loss, best_params, trigger = float("inf"), None, 0
             for epoch in range(args.epochs):
                 tot = 0.0
                 for i, g in enumerate(batches):
@@ -204,9 +248,24 @@ def main(argv=None):
                         state, opt_state, g,
                         jr.fold_in(jr.key(task_i + 200), epoch * 999 + i))
                     tot += float(loss)
+                epoch_loss = tot / max(len(batches), 1)
                 if epoch % 10 == 0:
-                    log.log_loss(epoch,
-                                 {"loss": tot / max(len(batches), 1)})
+                    log.log_loss(epoch, {"loss": epoch_loss})
+                if args.patience is not None:
+                    # best-loss checkpoint + patience early stop
+                    # (finetune-rag.py:111-120); only the encoder params
+                    # train, so they are the whole checkpoint
+                    if epoch_loss < best_loss:
+                        best_loss, trigger = epoch_loss, 0
+                        best_params = state.encoder_params
+                    else:
+                        trigger += 1
+                        if trigger >= args.patience:
+                            log(f"early stop at epoch {epoch}")
+                            break
+            if args.patience is not None and best_params is not None:
+                import dataclasses as _dc
+                state = _dc.replace(state, encoder_params=best_params)
 
         # reference protocol: append val entries before test
         state = _append(state, val.graphs, jr.key(task_i + 300))

@@ -95,6 +95,13 @@ def load_dataset(args):
     if args.dataset == "SYNTH":
         return synthetic_tu_dataset(seed=0, num_graphs=120, num_classes=3,
                                     feat_dim=16)
+    if args.dataset == "SYNTH-HARD":
+        # same off-the-ceiling generator as cli.fewshot (signal 0.6,
+        # noisy blocks) so a fewshot run can pretrain its encoder on
+        # the matching data
+        return synthetic_tu_dataset(seed=0, num_graphs=120, num_classes=3,
+                                    feat_dim=16, signal=0.6, p_in=0.35,
+                                    p_out=0.15, name="SYNTH-HARD")
     return load_tu_dataset(args.data_root, args.dataset)
 
 

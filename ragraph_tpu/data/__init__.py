@@ -14,5 +14,5 @@ from ragraph_tpu.data.planetoid import (  # noqa: F401
     micro_f1, sample_mask,
 )
 from ragraph_tpu.data.fewshot_export import (  # noqa: F401
-    sample_k_shot_nodes, export_fewshot_splits, load_fewshot_split,
+    sample_k_shot_nodes, sample_k_shot_graphs, export_fewshot_splits, load_fewshot_split,
 )

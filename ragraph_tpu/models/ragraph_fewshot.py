@@ -75,11 +75,24 @@ class RAGraphFewshotConfig:
 
 @_pytree_dataclass
 class FewshotSupportSet:
-    """The k-shot support set (features/adj/labels of support nodes)."""
+    """The k-shot support set.
 
-    features: jax.Array   # (S, F) or support-graph node features
+    Node level: ``features (S, F)`` / ``adj (S, S)`` / ``labels (S,)``
+    per support node, ``graph_ids=None``.
+
+    Graph level (``RAGraph_graph_fewshot/finetune-rag.py:62-76`` — the
+    support is whole graphs; node logits are mean-pooled per support
+    graph before prototyping): ``features`` / ``adj`` stack the support
+    graphs' nodes block-diagonally, ``labels (G,)`` is one class id per
+    support GRAPH, and ``graph_ids (S,)`` maps each support node to its
+    graph (the segment form of the reference's ``graph_len`` cursor
+    loop).
+    """
+
+    features: jax.Array   # (S, F) support node features
     adj: jax.Array        # (S, S)
-    labels: jax.Array     # (S,) int class ids
+    labels: jax.Array     # (S,) node class ids | (G,) graph class ids
+    graph_ids: Any = None  # None | (S,) int graph segment ids
 
 
 @_pytree_dataclass
@@ -128,9 +141,20 @@ class RAGraphFewshot:
 
     def prototypes(self, params, support: FewshotSupportSet) -> jax.Array:
         """Class-prototype logits from the support set (recomputed with the
-        current params each step, differentiable)."""
+        current params each step, differentiable).
+
+        With ``support.graph_ids`` set (graph level), node logits are
+        mean-pooled per support graph first — the reference's
+        ``calculate_mean_logits`` graph_len cursor loop
+        (``RAGraph_graph_fewshot/finetune-rag.py:62-76``) as one segment
+        reduction.
+        """
         logits = self.encoder.apply(params, support.features, support.adj,
                                     method=self.encoder.inference)
+        if support.graph_ids is not None:
+            num_graphs = support.labels.shape[0]
+            logits = fewshot_mean_logits(logits, support.graph_ids,
+                                         num_graphs)
         return fewshot_mean_logits(logits, support.labels,
                                    self.cfg.num_class)
 

@@ -104,7 +104,8 @@ def _load_node(ns: SimpleNamespace):
     # different source trees; used by the variant build/retrieve parity
     # tests)
     for prefix, tree in (("graph", f"{REF}/RAGraph_graph"),
-                         ("fewshot", f"{REF}/RAGraph_node_fewshot")):
+                         ("fewshot", f"{REF}/RAGraph_node_fewshot"),
+                         ("gfewshot", f"{REF}/RAGraph_graph_fewshot")):
         pkg_name = f"ref{prefix}_rgu"
         pkg = types.ModuleType(pkg_name)
         pkg.__path__ = [f"{tree}/ragraph_utils"]
@@ -289,25 +290,37 @@ def interpolative_merge_reference(all_state_dict: list, interval: int,
     return scope["state_dict"]
 
 
-def _load_graph_driver(ns: SimpleNamespace):
-    """RAGraph_graph: the full DRIVER stack (pretrain.py + finetune-rag.py
-    protocol pieces) — preprompt (with the graph tree's models/layers),
-    utils/process, aug, and ragraph_utils.utility — for the graph-level
-    e2e differential. ``graph_RAGraph``/``graph_ToyGraphBase`` themselves
-    are loaded by ``_load_node``; this adds what the graph *drivers* read
-    (``RAGraph_graph/pretrain.py:10-60``, ``finetune-rag.py:10-12``)."""
-    GRAPH = f"{REF}/RAGraph_graph"
-    ns.graph_process = _load_file("refgraph_process",
-                                  f"{GRAPH}/utils/process.py")
-    ns.graph_aug = _load_file("refgraph_aug", f"{GRAPH}/aug.py")
-    ns.graph_utility = _load_file("refgraph_utility",
-                                  f"{GRAPH}/ragraph_utils/utility.py")
+def _load_tree_driver(ns: SimpleNamespace, prefix: str, tree: str):
+    """Load a variant tree's DRIVER stack (what its pretrain.py +
+    finetune-rag.py read beyond the RAGraph/ToyGraphBase classes):
+    ``utils/process.py``, ``aug.py``, ``ragraph_utils/utility.py``, and
+    ``preprompt.py`` with the tree's OWN models/layers packages (each
+    variant tree ships its own copies with diverging signatures — e.g.
+    the fewshot GcnLayers.forward drops the ``sparse`` arg). Results land
+    on ``ns`` as ``{prefix}_process`` / ``{prefix}_aug`` /
+    ``{prefix}_utility`` / ``{prefix}_preprompt``."""
+    setattr(ns, f"{prefix}_process",
+            _load_file(f"ref{prefix}_process", f"{tree}/utils/process.py"))
+    setattr(ns, f"{prefix}_aug",
+            _load_file(f"ref{prefix}_aug", f"{tree}/aug.py"))
+    setattr(ns, f"{prefix}_utility",
+            _load_file(f"ref{prefix}_utility",
+                       f"{tree}/ragraph_utils/utility.py"))
+    # the graph-fewshot tree's __init__ imports its fewshot helpers from
+    # ragraph_utils/fewshot_utility.py — a file ABSENT from the snapshot
+    # (the package is unimportable as shipped); the node-fewshot tree has
+    # the same helpers inside utility.py, which stands in for drivers
+    import os as _os
+    fsu = f"{tree}/ragraph_utils/fewshot_utility.py"
+    if _os.path.exists(fsu):
+        setattr(ns, f"{prefix}_fewshot_utility",
+                _load_file(f"ref{prefix}_fewshot_utility", fsu))
 
     saved_path = list(sys.path)
-    sys.path.insert(0, GRAPH)
+    sys.path.insert(0, tree)
     try:
         layers = types.ModuleType("layers")
-        layers.__path__ = [f"{GRAPH}/layers"]
+        layers.__path__ = [f"{tree}/layers"]
         sys.modules["layers"] = layers
         import layers.discriminator  # noqa: F401
         import layers.discriminator2  # noqa: F401
@@ -319,7 +332,7 @@ def _load_graph_driver(ns: SimpleNamespace):
         layers.Discriminator2 = layers.discriminator2.Discriminator2
 
         models = types.ModuleType("models")
-        models.__path__ = [f"{GRAPH}/models"]
+        models.__path__ = [f"{tree}/models"]
         sys.modules["models"] = models
         import models.LP  # noqa: F401
         import models.dgi  # noqa: F401
@@ -332,8 +345,8 @@ def _load_graph_driver(ns: SimpleNamespace):
         import models.gcnlayers  # noqa: F401
         models.GcnLayers = models.gcnlayers.GcnLayers
 
-        import preprompt as graph_preprompt  # noqa: F401
-        ns.graph_preprompt = graph_preprompt
+        import preprompt  # noqa: F401
+        setattr(ns, f"{prefix}_preprompt", preprompt)
     finally:
         sys.path[:] = saved_path
         _purge(["layers", "models", "preprompt", "utils"])
@@ -354,5 +367,17 @@ def load_graph_driver() -> SimpleNamespace:
     """``load_reference()`` plus the RAGraph_graph driver stack."""
     ns = load_reference()
     if not hasattr(ns, "graph_preprompt"):
-        _load_graph_driver(ns)
+        _load_tree_driver(ns, "graph", f"{REF}/RAGraph_graph")
+    return ns
+
+
+def load_fewshot_driver() -> SimpleNamespace:
+    """``load_reference()`` plus the fewshot trees' driver stacks
+    (``fewshot_*`` = RAGraph_node_fewshot, ``gfewshot_*`` =
+    RAGraph_graph_fewshot)."""
+    ns = load_reference()
+    if not hasattr(ns, "fewshot_preprompt"):
+        _load_tree_driver(ns, "fewshot", f"{REF}/RAGraph_node_fewshot")
+    if not hasattr(ns, "gfewshot_preprompt"):
+        _load_tree_driver(ns, "gfewshot", f"{REF}/RAGraph_graph_fewshot")
     return ns

@@ -347,6 +347,44 @@ def test_fewshot_finetune_graph_level(workdir):
     assert np.isfinite(mean)
 
 
+def test_fewshot_support_dir_and_patience(workdir):
+    """--support-dir loads exported supports (per-task node files and the
+    graph driver's single shared set) and --patience restores the
+    best-loss state (finetune-rag.py:111-120 best-checkpointing)."""
+    from ragraph_tpu.cli import fewshot as fs_cli
+    from ragraph_tpu.data import synthetic_tu_dataset
+    from ragraph_tpu.data.fewshot_export import (export_fewshot_graph_split,
+                                                 export_fewshot_splits)
+
+    ds = synthetic_tu_dataset(seed=0, num_graphs=40, num_classes=3,
+                              feat_dim=16)
+    export_fewshot_splits(ds, str(workdir / "sup_n"), shots=3,
+                          num_tasks=2, seed=0)
+    mean = fs_cli.main(["finetune", "--dataset", "SYNTH", "--hidden", "16",
+                        "--batch-size", "8", "--test-times", "2",
+                        "--epochs", "3", "--patience", "1",
+                        "--retrieve-num", "3", "--shots", "3",
+                        "--support-dir", str(workdir / "sup_n"),
+                        "--library-capacity", "16384",
+                        "--save-dir", str(workdir / "m"),
+                        "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean)
+
+    export_fewshot_graph_split(ds, str(workdir / "sup_g" / "support.npz"),
+                               shots=3, seed=0)
+    mean_g = fs_cli.main(["finetune", "--dataset", "SYNTH", "--level",
+                          "graph", "--hidden", "16", "--batch-size", "8",
+                          "--test-times", "1", "--epochs", "2",
+                          "--retrieve-num", "3", "--shots", "3",
+                          "--support-dir", str(workdir / "sup_g"),
+                          "--retrieve-weight", "0.3",
+                          "--label-weight", "0.8",
+                          "--library-capacity", "16384",
+                          "--save-dir", str(workdir / "m"),
+                          "--results-dir", str(workdir / "r")])
+    assert np.isfinite(mean_g)
+
+
 def test_edge_mesh_cli(workdir):
     """--mesh dp=2,idx=4: pretrain with idx-sharded tables + shard_map
     propagation, then the staged finetune on the same mesh (8 virtual

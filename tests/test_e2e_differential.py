@@ -50,6 +50,29 @@ def test_graph_differential_within_seed_noise():
     assert len(out["ours"]["accuracy"]) == 5
 
 
+@pytest.mark.parametrize("arm", ["node", "graph"])
+def test_fewshot_differential_within_seed_noise(arm):
+    out = _load(f"reference_e2e_differential_fewshot_{arm}.json")
+    if out["within_seed_noise"]:
+        assert abs(out["gap_sigma"]) <= 2.0, out
+    else:
+        # ours may sit ABOVE the reference outside 2 SE when the nominal
+        # pretrain knobs give our per-batch optimizer ~15x the updates;
+        # the matched-optimizer-updates arm must then close the gap (the
+        # documented-and-explained path, not an escape hatch: a DEFICIT
+        # outside noise still fails)
+        assert out["gap_pp"] > 0, out
+        mu = out["matched_updates"]
+        assert mu["within_seed_noise"], mu
+        assert abs(mu["gap_sigma"]) <= 2.0, mu
+    # both sides genuinely learned (33% chance on 3 classes; SYNTH-HARD
+    # keeps accuracy off the ceiling)
+    assert out["reference"]["mean"] > 40.0
+    assert out["ours"]["mean"] > 40.0
+    assert len(out["reference"]["accuracy"]) == 5
+    assert len(out["ours"]["accuracy"]) == 5
+
+
 def test_edge_differential_within_seed_noise():
     out = _load("reference_e2e_differential_edge.json")
     assert out["within_noise"], out

@@ -234,3 +234,66 @@ def test_graph_fewshot_train_step(data):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+class TestGraphSupportSets:
+    """Graph-level support sets: whole graphs + per-graph mean-pooled
+    prototypes (``RAGraph_graph_fewshot/finetune-rag.py:62-76``)."""
+
+    def test_sample_k_shot_graphs_layout(self, data):
+        from ragraph_tpu.data import sample_k_shot_graphs
+        rng = np.random.default_rng(0)
+        feats, adj, labels, lens = sample_k_shot_graphs(data["ds"], 4, 3,
+                                                        rng)
+        n = feats.shape[0]
+        assert int(lens.sum()) == n
+        assert adj.shape == (n, n)
+        assert labels.shape == lens.shape
+        assert set(np.unique(labels)) <= {0, 1, 2}
+        # 4 graphs sampled per class (SYNTH has >=4 per class)
+        for c in range(3):
+            assert int((labels == c).sum()) == 4
+        # symmetric normalization of blockdiag+I: sym, zero off-block
+        assert np.allclose(adj, adj.T, atol=1e-6)
+        off = int(lens[0])
+        assert np.all(adj[:off, off:] == 0.0)
+        # self-loop weights present (A+I before normalization)
+        assert np.all(np.diag(adj) > 0.0)
+
+    def test_prototypes_graph_segment_mean(self, data):
+        """prototypes() with graph_ids == manual per-graph mean →
+        per-class mean of encoder node logits."""
+        from ragraph_tpu.data import sample_k_shot_graphs
+        rng = np.random.default_rng(1)
+        feats, adj, labels, lens = sample_k_shot_graphs(data["ds"], 3, 3,
+                                                        rng)
+        gids = np.repeat(np.arange(len(lens)), lens)
+        cfg = RAGraphFewshotConfig(emb_size=HID, num_class=3,
+                                   level="graph", encoder_layers=2)
+        task = RAGraphFewshot(cfg, feature_dim=16)
+        support = FewshotSupportSet(
+            features=jnp.asarray(feats), adj=jnp.asarray(adj),
+            labels=jnp.asarray(labels, dtype=jnp.int32),
+            graph_ids=jnp.asarray(gids, dtype=jnp.int32))
+        state = task.init_state(jr.key(3), support, library_capacity=256)
+        protos = np.asarray(task.prototypes(state.encoder_params, support))
+        assert protos.shape == (3, HID)
+
+        node_logits = np.asarray(task.encoder.apply(
+            state.encoder_params, support.features, support.adj,
+            method=task.encoder.inference))
+        graph_logits = np.stack([node_logits[gids == g].mean(0)
+                                 for g in range(len(lens))])
+        manual = np.stack([graph_logits[labels == c].mean(0)
+                           for c in range(3)])
+        np.testing.assert_allclose(protos, manual, rtol=1e-5, atol=1e-5)
+
+    def test_export_and_load_graph_split(self, data, tmp_path):
+        from ragraph_tpu.data.fewshot_export import (
+            export_fewshot_graph_split)
+        path = export_fewshot_graph_split(data["ds"],
+                                          str(tmp_path / "support.npz"),
+                                          shots=3, seed=0)
+        d = np.load(path)
+        assert set(d.files) == {"features", "adj", "labels", "graph_len"}
+        assert int(d["graph_len"].sum()) == d["features"].shape[0]
