@@ -73,6 +73,22 @@ def test_fewshot_differential_within_seed_noise(arm):
     assert len(out["ours"]["accuracy"]) == 5
 
 
+@pytest.mark.parametrize("arm,floor", [("vanilla_node", 60.0),
+                                       ("vanilla_graph", 50.0),
+                                       ("noise_node", 80.0)])
+def test_vanilla_noise_differential_within_seed_noise(arm, floor):
+    """The remaining runnable driver families: vanilla-rag.py
+    (training-free) node+graph and finetune-noise.py
+    (experiments/reference_e2e_differential_vanilla_noise.py)."""
+    out = _load(f"reference_e2e_differential_{arm}.json")
+    assert out["within_seed_noise"], out
+    assert abs(out["gap_sigma"]) <= 2.0, out
+    assert out["reference"]["mean"] > floor
+    assert out["ours"]["mean"] > floor
+    assert len(out["reference"]["accuracy"]) == 5
+    assert len(out["ours"]["accuracy"]) == 5
+
+
 def test_edge_differential_within_seed_noise():
     out = _load("reference_e2e_differential_edge.json")
     assert out["within_noise"], out
