@@ -61,21 +61,29 @@ def main():
     vm = jnp.ones((R,), jnp.int32)
     nb = R // LANE
 
-    def timed_chain(fn, *args):
+    def timed_chain(fn, first, *args):
         """THROUGHPUT: ITERS independent evaluations in one jit —
-        successive iterations may pipeline (fn must reduce to a
-        scalar)."""
+        successive iterations may pipeline across the loop back-edge
+        (fn must reduce to a scalar). The FIRST argument is perturbed
+        by the loop INDEX: iterations stay independent but are distinct
+        computations, so LICM/CSE cannot collapse the loop to one
+        evaluation. The original loop-invariant form of this harness
+        WAS collapsed by XLA (benchmarks/bench_loop_elision.py: total
+        time constant at ~29-32 ms for 10 and 50 iterations) and
+        produced the retracted 1.008 ms/batch "exact pipelines to 0.6x
+        approx" artifact — results/exact_phases.json is the corrected
+        capture."""
         @jax.jit
-        def chain(*a):
-            def body(_, carry):
-                acc = fn(*a)
-                return carry + acc
+        def chain(x0, *a):
+            def body(i, carry):
+                xi = x0 + i.astype(x0.dtype) * jnp.asarray(1e-3, x0.dtype)
+                return carry + fn(xi, *a)
             return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-        float(chain(*args))  # compile+warm
+        float(chain(first, *args))  # compile+warm
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            float(chain(*args))
+            float(chain(first, *args))
             best = min(best, time.perf_counter() - t0)
         return best / ITERS
 
