@@ -697,28 +697,48 @@ def run_graph(ref=None, ds=None, fake=None):
     out = _emit("graph_fewshot", config, ref_tuple, ours, pre_best,
                 "cli.node pretrain --encoder-layers 2 + cli.fewshot "
                 "finetune --level graph --support-dir")
+    # HEADLINE = the matched-optimizer-updates arm (r4 verdict item 4,
+    # deviation documented in docs/PARITY.md "pretrain update count"):
+    # the nominal arm compares our per-batch Adam (~150 updates) against
+    # the reference's one-backward-per-epoch schedule (10 updates), so
+    # its gap measures update count, not pipeline fidelity. The nominal
+    # arm is preserved as the secondary `nominal` record.
+    out["nominal"] = {
+        "note": "--pretrain-epochs 10 (CLI default): our per-batch Adam "
+                "gives the encoder ~150 updates vs the reference's 10 "
+                "one-per-epoch updates (RAGraph_graph_fewshot/pretrain.py "
+                "summed-loss single backward) — ours lands AHEAD outside "
+                "2 SE on excess updates alone; see docs/PARITY.md",
+        "ours_mean": out["ours"]["mean"],
+        "ours_std": out["ours"]["std"],
+        "ours_accuracy": out["ours"]["accuracy"],
+        "gap_pp": out["gap_pp"],
+        "gap_se_pp": out["gap_se_pp"],
+        "gap_sigma": out["gap_sigma"],
+        "within_seed_noise": out["within_seed_noise"],
+    }
     m_gap = ours_matched["mean"] - ref_tuple[0]
     m_se = _se(ref_tuple[2], ours_matched["accuracy"])
-    out["matched_updates"] = {
-        "note": "ours with --pretrain-epochs 1 (~15 Adam updates vs the "
-                "reference's 10 one-per-epoch updates); the nominal arm "
-                "gives ours 150 updates and puts it AHEAD outside 2 SE",
-        "ours_mean": ours_matched["mean"],
-        "ours_std": ours_matched["std"],
-        "ours_accuracy": ours_matched["accuracy"],
-        "gap_pp": m_gap,
-        "gap_se_pp": m_se,
-        "gap_sigma": m_gap / max(m_se, 1e-12),
-        "within_seed_noise": bool(abs(m_gap) <= 2.0 * m_se),
-    }
+    out["headline_arm"] = "matched_updates (--pretrain-epochs 1: ~15 " \
+        "Adam updates vs the reference's 10)"
+    out["ours"] = {"mean": ours_matched["mean"],
+                   "std": ours_matched["std"],
+                   "accuracy": ours_matched["accuracy"],
+                   "protocol": "cli.node pretrain --encoder-layers 2 "
+                               "--pretrain-epochs 1 (matched optimizer "
+                               "updates) + cli.fewshot finetune --level "
+                               "graph --support-dir"}
+    out["gap_pp"] = m_gap
+    out["gap_se_pp"] = m_se
+    out["gap_sigma"] = m_gap / max(m_se, 1e-12)
+    out["within_seed_noise"] = bool(abs(m_gap) <= 2.0 * m_se)
     out["ours_ahead"] = bool(out["gap_pp"] > 0)
     path = "results/reference_e2e_differential_fewshot_graph.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({"matched_updates_gap_sigma":
-                      out["matched_updates"]["gap_sigma"],
-                      "matched_updates_within":
-                      out["matched_updates"]["within_seed_noise"]}))
+    print(json.dumps({"headline_gap_sigma": out["gap_sigma"],
+                      "headline_within": out["within_seed_noise"],
+                      "nominal_gap_sigma": out["nominal"]["gap_sigma"]}))
     return out
 
 

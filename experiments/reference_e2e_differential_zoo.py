@@ -1,0 +1,295 @@
+"""Baselines-zoo arms of the head-to-head e2e differential (VERDICT r4
+item 2): SGL (plugin family) and ROLAND (dynamic family), the two
+representatives the verdict names, on the same subsampled amazon as the
+edge differential, 3 seeds, the same SE-of-the-mean-difference
+criterion.
+
+* **SGL** follows the reference's own driver protocol —
+  ``RAGraph_edge/pretrain.py:53-62`` with ``--plugin --pre_model SGL``:
+  ``EdgeListData(pretrain, pretrain_val)``, ``SGL(dataset,
+  phase='pretrain')`` (``modules/plugins/SGL.py:30``), ``Trainer.train``
+  with best-recall early stopping. Ours: ``cli.edge pretrain --model
+  SGL``.
+* **ROLAND**: the reference ships the model (``dynamicGNN/roland.py:35``)
+  and its trainer (``trainer_roland.py``) but NO driver script, so the
+  stage loop here mirrors our ``staged_dynamic`` protocol identically on
+  both sides — stage 1 inits from the shared pretrained GraphPro tables,
+  stage s trains on stage s-1's interactions with test_s held out, the
+  meta state is EMA-merged ``0.1*best + 0.9*meta`` via the reference's
+  own ``average_state_dict`` (``roland.py:20-33``), and the per-stage
+  meta layers are the plain-propagation layers of the stage-init params
+  on the stage graph (frozen, as ``roland.forward``'s ``@no_grad``
+  ``meta_model.generate_lgn`` makes them). Model math + trainer loop are
+  the reference's own code objects; only the (absent) driver glue is
+  shared by construction.
+
+Run: ``python experiments/reference_e2e_differential_zoo.py [sgl|roland|all]``
+Results: results/reference_e2e_differential_{sgl,roland}.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import torch
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reference_e2e_differential_edge import (  # noqa: E402
+    BATCH_SIZE, EMB, N_STAGES, NUM_EPOCHS, PATIENCE, SEEDS, SUB_DIR,
+    FakeLogger, _configure_ref_args, _force_cpu, _init_seed,
+    make_amazon_sub, reference_pretrain)
+
+N_USERS = 4000
+
+
+# ---------------------------------------------------------------------------
+# SGL: the reference's own pretrain.py protocol
+# ---------------------------------------------------------------------------
+def reference_sgl_pretrain(ref, save_dir, seed):
+    a = _configure_ref_args(ref, save_dir)
+    a.seed = seed
+    a.exp_time = f"sgl-{seed}"
+    _init_seed(seed)
+    dataset = ref.edge_EdgeListData(
+        os.path.join(SUB_DIR, "pretrain.txt"),
+        os.path.join(SUB_DIR, "pretrain_val.txt"))
+    model = ref.edge_SGL(dataset, phase="pretrain")
+    trainer = ref.edge_Trainer(dataset, FakeLogger())
+    best = trainer.train(model)
+    return float(best["recall"][0]), float(best["ndcg"][0])
+
+
+def run_sgl():
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        ref_r, ref_n = reference_sgl_pretrain(ref, save_dir, seed)
+        t_ref = time.time() - t0
+        print(f"[ref sgl seed {seed}] recall {ref_r:.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        ours_dir = f"/tmp/amazon_sub_zoo_ours_sgl_{seed}"
+        edge_cli.main([
+            "pretrain", "--model", "SGL", "--data-path", SUB_DIR,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed), "--save-dir", ours_dir])
+        with open(os.path.join(ours_dir,
+                               "pretrain_SGL_amazon_sub.json")) as f:
+            ours = json.load(f)
+        t_ours = time.time() - t0
+        print(f"[ours sgl seed {seed}] recall {ours['best_recall']:.5f} "
+              f"({t_ours:.0f}s)")
+        per_seed.append({"seed": seed,
+                         "reference": {"recall": ref_r, "ndcg": ref_n,
+                                       "wall_s": round(t_ref, 1)},
+                         "ours": {"recall": ours["best_recall"],
+                                  "ndcg": ours["best_ndcg"],
+                                  "wall_s": round(t_ours, 1)}})
+    _emit("sgl", stats, per_seed,
+          ref_protocol="pretrain.py --plugin --pre_model SGL (torch-CPU, "
+                       "modules/plugins/SGL.py, utils/trainer.py)",
+          ours_protocol="cli.edge pretrain --model SGL")
+
+
+# ---------------------------------------------------------------------------
+# ROLAND: staged_dynamic protocol with the reference's own classes
+# ---------------------------------------------------------------------------
+class _FakeGen:
+    """Stands in for ``pretrain_model`` in ``roland.__init__`` — its only
+    use is one ``.generate()`` call (``roland.py:48-51``)."""
+
+    def __init__(self, u, i):
+        self.u, self.i = u, i
+
+    def generate(self):
+        return self.u.clone(), self.i.clone()
+
+
+class _FixedMeta:
+    """Frozen meta-model layer snapshot. ``roland.forward`` reads
+    ``meta_model.generate_lgn(return_layers=True)`` under ``no_grad``
+    every forward (``roland.py:117``); since the meta params never change
+    within a stage, the layers are a constant — precomputed once here
+    (exactly our ``set_meta_layers`` stop-gradient snapshot)."""
+
+    def __init__(self, layers_u, layers_i):
+        self.layers_u = [u.detach() for u in layers_u]
+        self.layers_i = [i.detach() for i in layers_i]
+
+    def generate_lgn(self, return_layers=False):
+        assert return_layers
+        return self.layers_u, self.layers_i
+
+
+def reference_staged_roland(ref, pre_path, save_dir, seed):
+    a = _configure_ref_args(ref, save_dir)
+    a.pre_model_path = pre_path
+    a.seed = seed
+    _init_seed(seed)
+    logger = FakeLogger()
+
+    pretrain_data = os.path.join(SUB_DIR, "pretrain.txt")
+    all_data = [pretrain_data,
+                os.path.join(SUB_DIR, "fine_tune.txt"),
+                *[os.path.join(SUB_DIR, f"test_{i}.txt")
+                  for i in range(1, N_STAGES + 1)]]
+    pretrain_dataset = ref.edge_EdgeListData(
+        pretrain_data, os.path.join(SUB_DIR, "pretrain_val.txt"))
+
+    sd = torch.load(pre_path, map_location="cpu")
+    tables = {"user_embedding": sd["user_embedding"],
+              "item_embedding": sd["item_embedding"]}
+    meta_sd = None
+    recalls, ndcgs = [], []
+    for stage in range(1, N_STAGES + 1):
+        ft_ds = ref.edge_EdgeListData(
+            train_file=all_data[stage],
+            test_file=os.path.join(SUB_DIR, f"test_{stage}.txt"),
+            phase="finetune", pre_dataset=pretrain_dataset, has_time=True,
+            user_hist_files=all_data[:stage])
+
+        if meta_sd is None:
+            init_u, init_i = tables["user_embedding"], tables["item_embedding"]
+        else:
+            init_u, init_i = meta_sd["user_embedding"], meta_sd["item_embedding"]
+        model = ref.edge_roland(ft_ds, pretrain_model=_FakeGen(init_u, init_i))
+        if meta_sd is not None:
+            # carry the EMA-merged GRU across stages (tables already come
+            # from meta via _FakeGen)
+            model.load_state_dict(
+                {k: v for k, v in meta_sd.items() if k.startswith("gru.")},
+                strict=False)
+
+        with torch.no_grad():
+            layers_u, layers_i = model.forward_lgn(
+                model.edges, model.edge_norm, return_layers=True)
+        model.meta_model = _FixedMeta(layers_u, layers_i)
+
+        a.exp_time = f"roland-{seed}-{stage}"
+        trainer = ref.edge_TrainerRoland(ft_ds, logger)
+        best = trainer.train_finetune(model)
+        recalls.append(float(best["recall"][0]))
+        ndcgs.append(float(best["ndcg"][0]))
+        print(f"[ref roland seed {seed}] stage {stage}: "
+              f"recall {recalls[-1]:.5f}")
+
+        path = getattr(trainer, "save_path", None)
+        best_sd = (torch.load(path, map_location="cpu") if path is not None
+                   else model.state_dict())
+        best_sd = {k: v for k, v in best_sd.items()
+                   if not k.startswith("meta_model")}
+        meta_sd = (best_sd if meta_sd is None
+                   else ref.edge_average_state_dict(best_sd, meta_sd, 0.9))
+    return recalls, ndcgs
+
+
+def run_roland():
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_roland(
+            ref, pre_path, save_dir, seed)
+        t_ref = time.time() - t0
+        print(f"[ref roland seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "roland", "--data-path", SUB_DIR,
+            "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_roland_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours roland seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("roland", stats, per_seed,
+          ref_protocol="dynamicGNN/roland.py + trainer_roland.py under "
+                       "the staged_dynamic stage loop (the reference "
+                       "ships no roland driver; loop structure shared "
+                       "by construction, see module docstring)",
+          ours_protocol="cli.edge finetune --model roland")
+
+
+# ---------------------------------------------------------------------------
+def _emit(tag, stats, per_seed, ref_protocol, ours_protocol):
+    ref_vals = [s["reference"]["recall"] for s in per_seed]
+    our_vals = [s["ours"]["recall"] for s in per_seed]
+    ref_mean, our_mean = float(np.mean(ref_vals)), float(np.mean(our_vals))
+    n = len(per_seed)
+    se = float(np.sqrt(np.var(ref_vals, ddof=1) / n
+                       + np.var(our_vals, ddof=1) / n))
+    gap = our_mean - ref_mean
+    out = {
+        "subsample": stats,
+        "config": {"emb_size": EMB, "num_epochs": NUM_EPOCHS,
+                   "batch_size": BATCH_SIZE, "patience": PATIENCE,
+                   "seeds": list(SEEDS),
+                   "reference_protocol": ref_protocol,
+                   "ours_protocol": ours_protocol},
+        "per_seed": per_seed,
+        "reference": {"avg_recall": ref_mean,
+                      "avg_recall_std": float(np.std(ref_vals))},
+        "ours": {"avg_recall": our_mean,
+                 "avg_recall_std": float(np.std(our_vals))},
+        "gap": gap,
+        "rel_gap": gap / max(ref_mean, 1e-12),
+        "gap_se": se,
+        "gap_sigma": gap / max(se, 1e-12),
+        "within_noise": bool(abs(gap) <= 2.0 * se),
+    }
+    os.makedirs("results", exist_ok=True)
+    path = f"results/reference_e2e_differential_{tag}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in
+                      ("gap", "rel_gap", "gap_se", "gap_sigma",
+                       "within_noise")}))
+    return out
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("sgl", "all"):
+        run_sgl()
+    if mode in ("roland", "all"):
+        run_roland()

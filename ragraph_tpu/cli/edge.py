@@ -251,6 +251,11 @@ def run_pretrain(args):
                       result.best_params["item_embedding"])})
     log(f"best recall {result.best_perform['recall'][0]:.5f}; "
         f"checkpoint {keeper.path}")
+    out = os.path.join(args.save_dir, f"pretrain_{args.model}_{name}.json")
+    with open(out, "w") as f:
+        json.dump({"best_recall": float(result.best_perform["recall"][0]),
+                   "best_ndcg": float(result.best_perform["ndcg"][0])},
+                  f, indent=2)
     return keeper.path
 
 

@@ -69,14 +69,25 @@ def precision_at_k(hits, k):
     return hits[:, :k].sum() / k
 
 
-def mrr_at_k(hits, k):
+def mrr_at_k(hits, k, compat=False):
     """Standard MRR: 1/rank of the first hit within top-k.
 
     Deliberate deviation: the reference (``metrics.py:24-29``) divides by
     ``log2(1/rank)`` which is 0 at rank 1 (division by zero); mrr is not in
     its default metric set, so the bug never fires there. We implement the
-    textbook definition instead.
+    textbook definition by default.
+
+    ``compat=True`` reproduces the reference formula bit-for-bit
+    (``RAGraph_edge/utils/metrics.py:24-29``) so all four ranking metrics
+    can be compared numerically in head-to-head differentials: a rank-1
+    hit contributes ``inf`` (1/log2(1)=1/0) and a rank-1 miss ``nan``
+    (0/0), exactly as the reference's numpy evaluates it.
     """
+    if compat:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.log2(1.0 / np.arange(1, k + 1))
+            pred = hits[:, :k] / scores
+        return pred.sum(1).sum()
     ranks = np.arange(1, k + 1, dtype=np.float32)
     first_hit = np.where(hits[:, :k] > 0, 1.0 / ranks, 0.0).max(axis=1)
     return first_hit.sum()
@@ -97,12 +108,15 @@ class RankingEvaluator:
     """Full-catalog ranking eval over a test user dict."""
 
     def __init__(self, metrics=("recall", "ndcg"), ks=(20,),
-                 eval_batch_size: int = 512, topk_method: str = "auto"):
+                 eval_batch_size: int = 512, topk_method: str = "auto",
+                 mrr_compat: bool = False):
         self.metrics = tuple(metrics)
         self.ks = tuple(int(k) for k in ks)
         self.eval_batch_size = eval_batch_size
         # "auto": approx_max_k above 32k items (see _rate_and_topk)
         self.topk_method = topk_method
+        # reference-exact mrr formula (see mrr_at_k docstring)
+        self.mrr_compat = mrr_compat
 
     def evaluate(self, user_emb, item_emb, test_user_dict, user_hist_dict,
                  users=None):
@@ -152,7 +166,8 @@ class RankingEvaluator:
                 elif m == "precision":
                     result[m][ki] = precision_at_k(hits, k)
                 elif m == "mrr":
-                    result[m][ki] = mrr_at_k(hits, k)
+                    result[m][ki] = mrr_at_k(hits, k,
+                                             compat=self.mrr_compat)
 
         for m in self.metrics:
             result[m] = result[m] / num_users

@@ -209,6 +209,8 @@ def make_edge_args(**overrides) -> SimpleNamespace:
         hour_interval_f=1, model="RAGraph", desc="", phase="pretrain",
         plugin=False, save_path="saved", save_dir="saved",
         edge_dropout_ft=0.1, use_noise=False,
+        # plugin-zoo knobs (parse_args.py:54-58 parse_args_sgl defaults)
+        temp=0.2, lbd=0.1,
     )
     for k, v in overrides.items():
         setattr(args, k, v)
@@ -257,6 +259,25 @@ def _load_edge(ns: SimpleNamespace):
         parse_args.args.f_model = "graphprompt"
         gp_mod = importlib.import_module("modules.graphprompt.GP")
         graphprompt_pkg.GP = gp_mod
+
+        # plugin + dynamic zoo (r4 verdict item 2: zoo e2e differentials)
+        plugins_pkg = types.ModuleType("modules.plugins")
+        plugins_pkg.__path__ = [f"{EDGE}/modules/plugins"]
+        sys.modules["modules.plugins"] = plugins_pkg
+        modules_pkg.plugins = plugins_pkg
+        sgl_mod = importlib.import_module("modules.plugins.SGL")
+        dyn_pkg = types.ModuleType("modules.dynamicGNN")
+        dyn_pkg.__path__ = [f"{EDGE}/modules/dynamicGNN"]
+        sys.modules["modules.dynamicGNN"] = dyn_pkg
+        modules_pkg.dynamicGNN = dyn_pkg
+        roland_mod = importlib.import_module("modules.dynamicGNN.roland")
+        trainer_roland_mod = importlib.import_module(
+            "modules.dynamicGNN.trainer_roland")
+
+        ns.edge_SGL = sgl_mod.SGL
+        ns.edge_roland = roland_mod.roland
+        ns.edge_average_state_dict = roland_mod.average_state_dict
+        ns.edge_TrainerRoland = trainer_roland_mod.Trainer
 
         ns.edge_args = parse_args.args  # live: mutate to steer the modules
         ns.edge_utils = modules.utils

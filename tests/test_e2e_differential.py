@@ -53,18 +53,18 @@ def test_graph_differential_within_seed_noise():
 @pytest.mark.parametrize("arm", ["node", "graph"])
 def test_fewshot_differential_within_seed_noise(arm):
     out = _load(f"reference_e2e_differential_fewshot_{arm}.json")
-    if out["within_seed_noise"]:
-        assert abs(out["gap_sigma"]) <= 2.0, out
-    else:
-        # ours may sit ABOVE the reference outside 2 SE when the nominal
-        # pretrain knobs give our per-batch optimizer ~15x the updates;
-        # the matched-optimizer-updates arm must then close the gap (the
-        # documented-and-explained path, not an escape hatch: a DEFICIT
-        # outside noise still fails)
-        assert out["gap_pp"] > 0, out
-        mu = out["matched_updates"]
-        assert mu["within_seed_noise"], mu
-        assert abs(mu["gap_sigma"]) <= 2.0, mu
+    # headline arm must be within seed noise, no escape hatches; for the
+    # graph arm the headline IS the matched-optimizer-updates arm
+    # (docs/PARITY.md "pretrain update count": the nominal CLI default
+    # gives our per-batch Adam ~15x the reference's one-backward-per-
+    # epoch updates, which measures update count, not pipeline fidelity)
+    assert out["within_seed_noise"], out
+    assert abs(out["gap_sigma"]) <= 2.0, out
+    if "nominal" in out:
+        # the secondary nominal arm may only deviate UPWARD (ours ahead
+        # on excess updates); a deficit outside noise still fails
+        nom = out["nominal"]
+        assert nom["within_seed_noise"] or nom["gap_pp"] > 0, nom
     # both sides genuinely learned (33% chance on 3 classes; SYNTH-HARD
     # keeps accuracy off the ceiling)
     assert out["reference"]["mean"] > 40.0

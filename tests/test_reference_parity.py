@@ -459,6 +459,28 @@ def test_metric_eval_protocol_parity(R):
         np.testing.assert_allclose(ours[m], ref[m], atol=1e-5)
 
 
+def test_mrr_compat_parity(R):
+    """``mrr_at_k(compat=True)`` reproduces the reference formula
+    (utils/metrics.py:24-29) bit-for-bit — including its division by
+    ``log2(1/1)=0`` at rank 1, which makes every row ``inf`` (rank-1 hit)
+    or ``nan`` (rank-1 miss). The textbook default stays finite."""
+    from ragraph_tpu.train.metrics import mrr_at_k
+    rng = np.random.default_rng(23)
+    k = 5
+    cases = [
+        rng.integers(0, 2, size=(7, k)).astype(float),   # mixed -> nan
+        np.ones((4, k)),                                 # all rank-1 hits -> inf
+        np.concatenate([np.ones((3, 1)), np.zeros((3, k - 1))], 1),
+    ]
+    for hits in cases:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ref = R.edge_Metric.mrr(None, hits, k)
+        ours = mrr_at_k(hits, k, compat=True)
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+        # and the default stays the textbook finite value
+        assert np.isfinite(mrr_at_k(hits, k))
+
+
 def test_interpolative_merge_parity(R):
     """The staged fine-tune interpolative update (finetune_rag.py:70-86),
     executed from the reference source text."""
