@@ -7,11 +7,11 @@ Two chaining modes, measuring two different deployment quantities:
   must finish before the next starts. This is where the historical
   "exact ≈ 2x approx" ratio lives.
 * **throughput** — ITERS *independent* iterations in one jit: XLA/the
-  chip overlap the phases of successive batches (glue/rescore of batch
-  n hide behind the score matmul of batch n+1). This is the sustained
-  rate a serving stream sees. First measured r4: the exact pipeline
-  sustains ~0.98 ms/batch at the bench shape — FASTER than
-  lax.approx_max_k (~1.69 ms), which gains nothing from pipelining.
+  chip may overlap phases of successive batches. This is the rate a
+  serving stream sees. The r4 capture of this harness ("exact sustains
+  ~0.98 ms — faster than approx") was an XLA loop-elision ARTIFACT
+  (loop-invariant body collapsed to one evaluation) and is retracted;
+  the current harness perturbs each iteration by the loop index.
 
 Per-phase arms (throughput-chained; additivity only holds in latency
 mode, so the per-phase numbers bound each stage alone):
@@ -24,10 +24,11 @@ mode, so the per-phase numbers bound each stage alone):
   glue          column_topk over the (nb, Q) bucket-max matrix +
                 pair sort/scatter assignment build
 
-r4 finding: phase1 - matmul_proxy = 0.06 ms — the 128-group max the
-structural argument blamed is nearly free; the latency gap is the
-serialized glue (~0.88 ms, nearly a whole matmul) + rescore, and it
-pipelines away entirely under independent batches.
+Plus a 2x2 reconciliation of {dependent, independent} chain x
+{normalize-form, add-form} body — BENCH_r04's sustained arm measured
+SLOWER than its latency arm (2.97 vs 2.37 ms), and the two bench.py
+arms differ in body form as well as chain structure; the crossed arms
+pin which difference is real.
 
 Usage: python benchmarks/bench_exact_phases.py   (real TPU)
 """
@@ -138,6 +139,50 @@ def main():
 
     dt_full_lat = timed_chain_dep(full_vals, l2_normalize(queries), keys)
 
+    # --- 2x2 reconciliation arms (r4 verdict weak #2: BENCH_r04 measured
+    # the sustained arm SLOWER than the latency arm, 2.97 vs 2.37 ms —
+    # impossible if only chain structure differed). The two bench.py arms
+    # confound chain structure with body form: the latency body runs
+    # l2_normalize(f32)+cast per iteration, the throughput body a bf16
+    # add. Cross them: same add-form body in a DEPENDENT chain, and the
+    # normalize-form body in an INDEPENDENT chain.
+    def timed_chain_dep_add(fn, q, *args):
+        """LATENCY with the throughput arm's body form: the dependency is
+        one scalar broadcast-add (prev result's [0,0] scaled), matching
+        the independent arm's x0 + i*eps op count exactly."""
+        @jax.jit
+        def chain(qq0, *a):
+            def body(_, carry):
+                prev, acc = carry
+                qi = qq0 + jnp.bfloat16(1e-6) * prev
+                s = fn(qi, *a)
+                return s[0, 0].astype(jnp.bfloat16), acc + s[0, 0]
+            return jax.lax.fori_loop(
+                0, ITERS, body,
+                (jnp.bfloat16(0), jnp.float32(0)))[1]
+        float(chain(q, *args))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(q, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best / ITERS
+
+    dt_full_lat_add = timed_chain_dep_add(
+        lambda qq, kn: bucketed_exact_topk(qq, kn, K, block_q=BLOCK_Q,
+                                           block_r=BLOCK_R)[0],
+        q_bf, keys)
+
+    def full_norm(qf, kn):
+        v, _ = bucketed_exact_topk(l2_normalize(qf).astype(jnp.bfloat16),
+                                   kn, K, block_q=BLOCK_Q, block_r=BLOCK_R)
+        return v[0, 0]
+
+    # independent chain, normalize-form body (timed_chain perturbs the
+    # f32 query by the loop index, then the body normalizes + casts —
+    # the latency arm's per-iteration work, free to pipeline)
+    dt_full_tp_norm = timed_chain(full_norm, queries, keys)
+
     # --- phase 1 alone ---
     def phase1(q, kn, vmm):
         bm = pl.pallas_call(
@@ -220,6 +265,8 @@ def main():
     print(f"  approx        {dt_approx_lat*1e3:7.3f}")
     print(f"  full exact    {dt_full_lat*1e3:7.3f}  "
           f"({dt_full_lat/dt_approx_lat:.2f}x approx)")
+    print(f"  full (add-form body) {dt_full_lat_add*1e3:7.3f}  "
+          "(dependent chain, throughput-arm body)")
     lat_p23 = dt_full_lat - dt_phase1 - dt_glue
     print(f"  phase2+3 est  {lat_p23*1e3:7.3f}  "
           "(latency residual over phase1+glue below)")
@@ -228,6 +275,8 @@ def main():
     print(f"  full exact    {dt_full*1e3:7.3f}  "
           f"({dt_full/dt_approx:.2f}x approx — <1 means exact is "
           "FASTER sustained)")
+    print(f"  full (norm-form body) {dt_full_tp_norm*1e3:7.3f}  "
+          "(independent chain, latency-arm body)")
     print(f"  phase1        {dt_phase1*1e3:7.3f}  "
           f"({dt_phase1/dt_approx:.2f}x approx)")
     print(f"  matmul proxy  {dt_mm*1e3:7.3f}  "
@@ -239,9 +288,11 @@ def main():
            "block_q": BLOCK_Q, "block_r": BLOCK_R,
            "latency_ms": {"approx": dt_approx_lat * 1e3,
                           "full_exact": dt_full_lat * 1e3,
+                          "full_exact_add_body": dt_full_lat_add * 1e3,
                           "ratio": dt_full_lat / dt_approx_lat},
            "throughput_ms": {"approx": dt_approx * 1e3,
                              "full_exact": dt_full * 1e3,
+                             "full_exact_norm_body": dt_full_tp_norm * 1e3,
                              "phase1": dt_phase1 * 1e3,
                              "matmul_proxy": dt_mm * 1e3,
                              "glue": dt_glue * 1e3,

@@ -108,6 +108,34 @@ def op_profile(fn, *args, iters: int = 3, min_ms: float = 0.05,
     return sorted(out, key=lambda d: -d["ms_per_call"])
 
 
+# Compile-time memory analyses recorded by EdgeTrainer (and any other
+# caller) when RAGRAPH_MEM_ANALYSIS=1. `device.memory_stats()` reports
+# zeros through the tunneled-TPU backend, so XLA's per-program
+# `compiled.memory_analysis()` is the only honest HBM accounting here —
+# same approach as the koubei vanilla dryrun (docs/SCALING.md).
+MEMORY_ANALYSES: list[dict] = []
+
+
+def record_memory_analysis(tag: str, ma, log=print) -> dict:
+    """Append one compiled-program memory analysis (bytes) and log it."""
+    entry = {"tag": tag}
+    for field in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes"):
+        entry[field.replace("_size_in_bytes", "_bytes")] = int(
+            getattr(ma, field, 0) or 0)
+    # live-bytes estimate for the program: args + temps + outputs, minus
+    # buffers aliased onto inputs (donated optimizer state)
+    entry["live_bytes"] = (entry["argument_bytes"] + entry["temp_bytes"]
+                           + entry["output_bytes"] - entry["alias_bytes"])
+    MEMORY_ANALYSES.append(entry)
+    log(f"[mem] {tag}: temp {entry['temp_bytes'] / 2**30:.3f} GiB, "
+        f"args {entry['argument_bytes'] / 2**30:.3f} GiB, "
+        f"out {entry['output_bytes'] / 2**30:.3f} GiB, "
+        f"live {entry['live_bytes'] / 2**30:.3f} GiB")
+    return entry
+
+
 def tree_all_finite(tree) -> jax.Array:
     """Scalar bool: every leaf of the pytree is finite."""
     leaves = [jnp.isfinite(x).all() for x in jax.tree.leaves(tree)

@@ -196,6 +196,22 @@ class EdgeTrainer:
                 k = jax.random.fold_in(key, epoch * 100_000 + nb)
                 users, pos, neg = self._place_batch(
                     jnp.asarray(users), jnp.asarray(pos), jnp.asarray(neg))
+                if (epoch == start_epoch and nb == 0
+                        and os.environ.get("RAGRAPH_MEM_ANALYSIS")):
+                    # device.memory_stats() is zeros through the tunnel;
+                    # record XLA's compile-time accounting of the step
+                    # program instead (the AOT lower re-traces, but the
+                    # persistent compilation cache absorbs the compile)
+                    try:
+                        from ragraph_tpu.train.profiling import \
+                            record_memory_analysis
+                        ma = step.lower(
+                            params, opt_state, users, pos, neg, k,
+                            graph_arg, resources_arg).compile() \
+                            .memory_analysis()
+                        record_memory_analysis("edge_step", ma, self.log)
+                    except Exception as e:  # noqa: BLE001 — probe only
+                        self.log(f"memory analysis unavailable: {e}")
                 params, opt_state, loss, _ = step(
                     params, opt_state, users, pos, neg, k, graph_arg,
                     resources_arg)

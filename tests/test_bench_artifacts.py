@@ -43,18 +43,66 @@ def test_serving_donated_dispatch_cuts_tail():
         <= arms["B1_dispatch_ms"]["p99"] * 1.05, arms
 
 
-def test_exact_phases_pipelining_claim():
-    """README/SERVING.md: exact bucketed top-k is a *latency* cost, not a
-    throughput cost — pipelined independent batches sustain a lower
-    ms/batch than the data-dependent chain, and beat approx_max_k
-    (benchmarks/bench_exact_phases.py)."""
+def test_readme_bands_match_latest_bench():
+    """README's measured-performance table must trace to the newest
+    non-degraded driver capture (VERDICT r4 item 3: quoted bands rotted
+    against BENCH_r04). The bands live in a BENCH_BANDS comment next to
+    the table; every metric present in the newest BENCH_r*.json must
+    fall inside its band."""
+    import glob
+    import re
+    root = os.path.join(os.path.dirname(__file__), "..")
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no driver BENCH captures")
+    with open(os.path.join(root, "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"BENCH_BANDS.*?(\{.*?\})\s*-->", readme, re.DOTALL)
+    assert m, "README BENCH_BANDS comment missing"
+    bands = json.loads(m.group(1))
+    # newest capture that is parsed and not flagged degraded
+    latest = None
+    for path in reversed(benches):
+        with open(path) as f:
+            cap = json.load(f)
+        parsed = cap.get("parsed") or {}
+        if parsed and not parsed.get("degraded", False):
+            latest = (os.path.basename(path), parsed)
+            break
+    if latest is None:
+        pytest.skip("no non-degraded BENCH capture")
+    name, parsed = latest
+    checked = 0
+    for metric, (lo, hi) in bands.items():
+        if parsed.get(metric) is None:
+            continue
+        v = parsed[metric]
+        assert lo <= v <= hi, (name, metric, v, lo, hi)
+        checked += 1
+    assert checked >= 5, f"only {checked} metrics checked vs {name}"
+
+
+def test_exact_phases_corrected_capture():
+    """README/SERVING.md: exact bucketed top-k costs ~2-2.7x approx both
+    in latency and sustained. The r4 claim that pipelined independent
+    batches sustain 0.60x of approx came from an XLA loop-elision
+    artifact (loop-invariant throughput body collapsed to one
+    evaluation) and is RETRACTED; this pins the corrected capture from
+    the elision-proof harness (benchmarks/bench_exact_phases.py) and
+    fails if the stale artifact ever returns."""
     out = _load("exact_phases.json")
     lat, tp = out["latency_ms"], out["throughput_ms"]
-    assert tp["full_exact"] < lat["full_exact"], out
-    # the headline: sustained exact <= approx (ratio < 1)
-    assert tp["ratio"] < 1.0, tp
-    # latency mode reproduces the historical 1.9-2.4x band
+    # the retracted artifact showed tp.ratio 0.597 — anything sustained
+    # below ~1.3x approx at this shape is elision, not pipelining
+    assert tp["ratio"] >= 1.3, (
+        "sustained exact below 1.3x approx — loop-elision artifact?", tp)
+    # latency mode reproduces the historical 1.9-2.4x band (chip-state
+    # variance widens it)
     assert 1.5 <= lat["ratio"] <= 3.0, lat
+    # the 2x2 reconciliation arms (r4 weak #2) must be present: same
+    # body form measured in both chain structures
+    assert "full_exact_add_body" in lat, lat
+    assert "full_exact_norm_body" in tp, tp
 
 
 def test_koubei_dryrun_compile_vs_steady_split():
