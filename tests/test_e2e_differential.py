@@ -96,3 +96,17 @@ def test_edge_differential_within_seed_noise():
         assert abs(out["gap_sigma"]) <= 2.0, out
     assert out["reference"]["avg_recall"] > 0.0
     assert out["ours"]["avg_recall"] > 0.0
+
+
+@pytest.mark.parametrize("arm", ["sgl", "roland"])
+def test_zoo_differential_within_seed_noise(arm):
+    """Baselines-zoo head-to-heads (r4 verdict item 2): SGL via the
+    reference's own pretrain.py protocol, roland via the shared
+    staged_dynamic stage loop over the reference's own model+trainer
+    (experiments/reference_e2e_differential_zoo.py)."""
+    out = _load(f"reference_e2e_differential_{arm}.json")
+    assert out["within_noise"], out
+    assert abs(out["gap_sigma"]) <= 2.0, out
+    assert out["reference"]["avg_recall"] > 0.0
+    assert out["ours"]["avg_recall"] > 0.0
+    assert len(out["per_seed"]) == 3
