@@ -99,10 +99,13 @@ def test_exact_phases_corrected_capture():
     # latency mode reproduces the historical 1.9-2.4x band (chip-state
     # variance widens it)
     assert 1.5 <= lat["ratio"] <= 3.0, lat
-    # the 2x2 reconciliation arms (r4 weak #2) must be present: same
-    # body form measured in both chain structures
-    assert "full_exact_add_body" in lat, lat
-    assert "full_exact_norm_body" in tp, tp
+    # the 2x2 reconciliation arms (r4 weak #2) must be present and
+    # AGREE: same-session chain-structure and body-form variations stay
+    # within 15% (measured <1% in the r5 capture) — fori_loop iterations
+    # do not pipeline on TPU, sustained == latency for this op
+    arms = [lat["full_exact"], lat["full_exact_add_body"],
+            tp["full_exact"], tp["full_exact_norm_body"]]
+    assert max(arms) <= 1.15 * min(arms), arms
 
 
 def test_koubei_dryrun_compile_vs_steady_split():
