@@ -290,10 +290,13 @@ def bench_exact_retrieval(roundtrip):
     bucket top-k (``ops/bucket_topk.bucketed_exact_topk``) on the same
     workload as :func:`bench_tpu` — the data-dependent chain captures
     the historical exact-vs-approx latency ratio (~1.9-2.4x across
-    sessions); the independent chain captures the sustained serving
-    rate, where the phases of successive batches pipeline and exact
-    runs FASTER than approx (r4 finding,
-    benchmarks/bench_exact_phases.py)."""
+    sessions); the independent chain measures the same op without the
+    data dependency. The r5 2x2 capture showed the two agree within 1%
+    (fori_loop iterations do NOT pipeline on TPU; the r4
+    "exact pipelines to faster than approx" finding was a loop-elision
+    artifact, retracted — benchmarks/bench_exact_phases.py,
+    KERNEL_NOTES). Both are kept so cross-arm drift flags chip-state
+    variance within a capture."""
     import jax
     import jax.numpy as jnp
     from ragraph_tpu.ops.bucket_topk import bucketed_exact_topk
@@ -322,16 +325,15 @@ def bench_exact_retrieval(roundtrip):
         totals.append(time.perf_counter() - t0)
     dt_lat = max((min(totals) - roundtrip) / ITERS, 1e-9)
 
-    # THROUGHPUT arm (r4): ITERS *independent* batches in one jit —
-    # glue/rescore of batch n pipeline behind batch n+1's score matmul,
-    # the rate a serving stream sustains. Measured FASTER than approx
-    # at this shape (~0.98 vs ~1.69 ms: the latency ratio is chain
-    # structure, not extra work — benchmarks/bench_exact_phases.py).
-    # Each iteration's query is perturbed by the LOOP INDEX (not the
-    # previous result): iterations stay independent (free to pipeline)
-    # but are distinct computations — a loop-invariant body here lets
-    # XLA elide the work entirely (r4 smoke run reported 0.106 ms/batch
-    # = an impossible >1 PFLOP/s; the loop had been collapsed).
+    # THROUGHPUT arm: ITERS *independent* batches in one jit. Measured
+    # r5: equals the latency arm within 1% — fori_loop iterations do
+    # not pipeline on TPU (the r4 "faster than approx" reading of this
+    # arm was a loop-elision artifact, retracted). Each iteration's
+    # query is perturbed by the LOOP INDEX (not the previous result):
+    # iterations stay independent but are distinct computations — a
+    # loop-invariant body here lets XLA elide the work entirely (r4
+    # smoke run reported 0.106 ms/batch = an impossible >1 PFLOP/s;
+    # the loop had been collapsed).
     q_n = l2_normalize(queries).astype(jnp.bfloat16)
 
     @jax.jit
@@ -750,9 +752,8 @@ def main():
         "mfu": mfu,
         "exact_retrieval_ms": round(exact_dt * 1e3, 3),
         "exact_vs_approx": round(exact_dt / dt, 2),
-        # sustained rate over independent batches (phases pipeline;
-        # approx gains nothing from the same chain — measured equal to
-        # its latency, benchmarks/bench_exact_phases.py)
+        # independent-batch arm: measured equal to the latency arm
+        # within 1% (r5 2x2 — kept as a within-capture drift check)
         "exact_throughput_ms": round(exact_tp_dt * 1e3, 3),
         "exact_tp_vs_approx": round(exact_tp_dt / dt, 2),
         "int8_retrieval_qps": round(i8_qps, 1),
