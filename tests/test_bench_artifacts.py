@@ -108,6 +108,19 @@ def test_exact_phases_corrected_capture():
     assert max(arms) <= 1.15 * min(arms), arms
 
 
+def test_10m_index_tiers():
+    """README's 10M-row rows (r4 verdict item 8: the serving-grade
+    int8+rescore tier needed a number at scale). The rescore tier must
+    recover near-bf16 recall while beating the bf16 path's wall-clock
+    (benchmarks/bench_10m_index.py)."""
+    out = _load("bench_10m_index.json")
+    assert out["R"] == 10_000_000
+    assert out["brute_recall_vs_exact"] >= 0.99, out
+    assert out["int8_recall_vs_bf16"] >= 0.80, out
+    assert out["int8_rescore_recall_vs_bf16"] >= 0.95, out
+    assert out["int8_rescore_ms"] <= out["brute_ms"], out
+
+
 def test_koubei_dryrun_compile_vs_steady_split():
     """VERDICT r3 item 3: the 135 s 'generate_plain_s' anomaly must be
     recorded as compile time separate from steady-state, and the scale
