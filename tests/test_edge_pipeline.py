@@ -351,6 +351,27 @@ class TestTrainerAndStaged:
         assert after["recall"][0] > before["recall"][0]
         assert after["recall"][0] > 0.1, f"recall {after['recall'][0]}"
 
+    def test_memory_analysis_probe(self, stream, monkeypatch):
+        """RAGRAPH_MEM_ANALYSIS=1 records the step program's compile-time
+        memory accounting (device.memory_stats() is zeros through the
+        tunneled backend — train/profiling.py)."""
+        from ragraph_tpu.train import profiling
+        train, stages = stream
+        ds = load_edge_dataset(train, [(u, i) for (u, i, _) in stages[0]])
+        model = GraphPro(_small_cfg(), EdgeGraphArrays.from_dataset(ds),
+                         phase="pretrain")
+        params = model.init_params(jr.key(0))
+        monkeypatch.setenv("RAGRAPH_MEM_ANALYSIS", "1")
+        monkeypatch.setattr(profiling, "MEMORY_ANALYSES", [])
+        trainer = EdgeTrainer(model, ds, logger=lambda *_: None)
+        trainer.train(params, jr.key(1), num_epochs=1,
+                      rng=np.random.default_rng(0))
+        assert profiling.MEMORY_ANALYSES, "probe recorded nothing"
+        entry = profiling.MEMORY_ANALYSES[0]
+        assert entry["tag"] == "edge_step"
+        assert entry["live_bytes"] > 0
+        assert entry["live_bytes"] >= entry["temp_bytes"]
+
     def test_interpolative_merge(self):
         pre = {"user_embedding": np.ones((4, 4), np.float32),
                "item_embedding": np.ones((4, 4), np.float32)}
