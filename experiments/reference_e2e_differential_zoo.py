@@ -1,15 +1,15 @@
 """Baselines-zoo arms of the head-to-head e2e differential (VERDICT r4
-item 2): SGL (plugin family) and ROLAND (dynamic family), the two
-representatives the verdict names, on the same subsampled amazon as the
-edge differential, 3 seeds, the same SE-of-the-mean-difference
-criterion.
+item 2): the full plugin family — SGL / SimGCL / MixGCF — and ROLAND
+(dynamic family), on the same subsampled amazon as the edge
+differential, 3 seeds, the same SE-of-the-mean-difference criterion.
 
-* **SGL** follows the reference's own driver protocol —
-  ``RAGraph_edge/pretrain.py:53-62`` with ``--plugin --pre_model SGL``:
-  ``EdgeListData(pretrain, pretrain_val)``, ``SGL(dataset,
-  phase='pretrain')`` (``modules/plugins/SGL.py:30``), ``Trainer.train``
-  with best-recall early stopping. Ours: ``cli.edge pretrain --model
-  SGL``.
+* **SGL / SimGCL / MixGCF** follow the reference's own driver protocol —
+  ``RAGraph_edge/pretrain.py:53-62`` with ``--plugin --pre_model <M>``:
+  ``EdgeListData(pretrain, pretrain_val)``, ``<M>(dataset,
+  phase='pretrain')`` (``modules/plugins/``), ``Trainer.train`` with
+  best-recall early stopping, per-model parser-extension knobs
+  (``utils/parse_args.py:49-78``). Ours: ``cli.edge pretrain --model
+  <M>`` (+ ``--lbd/--eps`` for SimGCL).
 * **ROLAND**: the reference ships the model (``dynamicGNN/roland.py:35``)
   and its trainer (``trainer_roland.py``) but NO driver script, so the
   stage loop here mirrors our ``staged_dynamic`` protocol identically on
@@ -23,8 +23,9 @@ criterion.
   the reference's own code objects; only the (absent) driver glue is
   shared by construction.
 
-Run: ``python experiments/reference_e2e_differential_zoo.py [sgl|roland|all]``
-Results: results/reference_e2e_differential_{sgl,roland}.json
+Run: ``python experiments/reference_e2e_differential_zoo.py
+[sgl|simgcl|mixgcf|roland|all]``
+Results: results/reference_e2e_differential_{sgl,simgcl,mixgcf,roland}.json
 """
 
 from __future__ import annotations
@@ -50,28 +51,48 @@ N_USERS = 4000
 
 
 # ---------------------------------------------------------------------------
-# SGL: the reference's own pretrain.py protocol
+# Plugin family (SGL / SimGCL / MixGCF): the reference's own pretrain.py
+# protocol — ``pretrain.py:53-62`` with ``--plugin --pre_model <M>``.
+# Per-arm knobs mirror the model-conditional parser extensions
+# (``utils/parse_args.py:49-78``): parse_args_sgl temp=0.2 lbd=0.1,
+# parse_args_simgcl eps=0.1 lbd=0.5, parse_args_mixgcf n_negs=16 (the
+# dataloader also dispatches on ``args.model == 'MixGCF'`` to draw
+# n_negs candidate negatives per positive, ``utils/dataloader.py:157``).
 # ---------------------------------------------------------------------------
-def reference_sgl_pretrain(ref, save_dir, seed):
+PLUGIN_ARMS = {
+    "sgl": ("edge_SGL", "SGL", {"temp": 0.2, "lbd": 0.1}, []),
+    "simgcl": ("edge_SimGCL", "SimGCL", {"eps": 0.1, "lbd": 0.5},
+               ["--lbd", "0.5", "--eps", "0.1"]),
+    "mixgcf": ("edge_MixGCF", "MixGCF",
+               {"n_negs": 16, "model": "MixGCF"}, []),
+}
+
+
+def reference_plugin_pretrain(ref, save_dir, seed, arm):
+    attr, _, ref_knobs, _ = PLUGIN_ARMS[arm]
     a = _configure_ref_args(ref, save_dir)
+    a.model = "RAGraph"            # reset any prior arm's dispatch
+    for k, v in ref_knobs.items():
+        setattr(a, k, v)
     a.seed = seed
-    a.exp_time = f"sgl-{seed}"
+    a.exp_time = f"{arm}-{seed}"
     _init_seed(seed)
     dataset = ref.edge_EdgeListData(
         os.path.join(SUB_DIR, "pretrain.txt"),
         os.path.join(SUB_DIR, "pretrain_val.txt"))
-    model = ref.edge_SGL(dataset, phase="pretrain")
+    model = getattr(ref, attr)(dataset, phase="pretrain")
     trainer = ref.edge_Trainer(dataset, FakeLogger())
     best = trainer.train(model)
     return float(best["recall"][0]), float(best["ndcg"][0])
 
 
-def run_sgl():
+def run_plugin(arm):
     _force_cpu()
     from _reference_loader import load_reference
 
     from ragraph_tpu.cli import edge as edge_cli
 
+    _, cli_model, _, cli_extra = PLUGIN_ARMS[arm]
     stats = make_amazon_sub(SUB_DIR, N_USERS)
     save_dir = "/tmp/amazon_sub_zoo_ckpt"
     os.makedirs(save_dir, exist_ok=True)
@@ -80,22 +101,22 @@ def run_sgl():
     per_seed = []
     for seed in SEEDS:
         t0 = time.time()
-        ref_r, ref_n = reference_sgl_pretrain(ref, save_dir, seed)
+        ref_r, ref_n = reference_plugin_pretrain(ref, save_dir, seed, arm)
         t_ref = time.time() - t0
-        print(f"[ref sgl seed {seed}] recall {ref_r:.5f} ({t_ref:.0f}s)")
+        print(f"[ref {arm} seed {seed}] recall {ref_r:.5f} ({t_ref:.0f}s)")
 
         t0 = time.time()
-        ours_dir = f"/tmp/amazon_sub_zoo_ours_sgl_{seed}"
+        ours_dir = f"/tmp/amazon_sub_zoo_ours_{arm}_{seed}"
         edge_cli.main([
-            "pretrain", "--model", "SGL", "--data-path", SUB_DIR,
+            "pretrain", "--model", cli_model, "--data-path", SUB_DIR,
             "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
             "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
-            "--seed", str(seed), "--save-dir", ours_dir])
-        with open(os.path.join(ours_dir,
-                               "pretrain_SGL_amazon_sub.json")) as f:
+            "--seed", str(seed), "--save-dir", ours_dir] + cli_extra)
+        with open(os.path.join(
+                ours_dir, f"pretrain_{cli_model}_amazon_sub.json")) as f:
             ours = json.load(f)
         t_ours = time.time() - t0
-        print(f"[ours sgl seed {seed}] recall {ours['best_recall']:.5f} "
+        print(f"[ours {arm} seed {seed}] recall {ours['best_recall']:.5f} "
               f"({t_ours:.0f}s)")
         per_seed.append({"seed": seed,
                          "reference": {"recall": ref_r, "ndcg": ref_n,
@@ -103,10 +124,12 @@ def run_sgl():
                          "ours": {"recall": ours["best_recall"],
                                   "ndcg": ours["best_ndcg"],
                                   "wall_s": round(t_ours, 1)}})
-    _emit("sgl", stats, per_seed,
-          ref_protocol="pretrain.py --plugin --pre_model SGL (torch-CPU, "
-                       "modules/plugins/SGL.py, utils/trainer.py)",
-          ours_protocol="cli.edge pretrain --model SGL")
+    _emit(arm, stats, per_seed,
+          ref_protocol=f"pretrain.py --plugin --pre_model {cli_model} "
+                       f"(torch-CPU, modules/plugins/{cli_model}.py, "
+                       "utils/trainer.py)",
+          ours_protocol=f"cli.edge pretrain --model {cli_model}"
+                        + (" " + " ".join(cli_extra) if cli_extra else ""))
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +312,8 @@ def _emit(tag, stats, per_seed, ref_protocol, ours_protocol):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if mode in ("sgl", "all"):
-        run_sgl()
+    for arm in PLUGIN_ARMS:
+        if mode in (arm, "all"):
+            run_plugin(arm)
     if mode in ("roland", "all"):
         run_roland()

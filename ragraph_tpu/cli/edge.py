@@ -57,6 +57,16 @@ def build_parser():
                         "init, modules/RAGraph.py:122-160, with FROZEN "
                         "A/B factors — the reference's optimizer never "
                         "sees them, utils/trainer.py:19-21)")
+    p.add_argument("--lbd", type=float, default=None,
+                   help="CL loss weight for the SGL/SimGCL plugins "
+                        "(reference parse_args_sgl: 0.1, "
+                        "parse_args_simgcl: 0.5; default: config's 0.1)")
+    p.add_argument("--eps", type=float, default=None,
+                   help="SimGCL perturbation magnitude "
+                        "(parse_args_simgcl default 0.1)")
+    p.add_argument("--n-negs", type=int, default=None,
+                   help="MixGCF candidate negatives per positive "
+                        "(parse_args_mixgcf default 16)")
     p.add_argument("--emb-size", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=2048)
@@ -194,6 +204,11 @@ def _load_rows(args):
 def _cfg(args, phase, dataset_name, num_nodes=None):
     from ragraph_tpu.models.edge import edge_config_for
     lora = getattr(args, "lora", "off")
+    # plugin-zoo knobs: only override the config defaults when given
+    extra = {k: v for k, v in (("lbd", getattr(args, "lbd", None)),
+                               ("eps", getattr(args, "eps", None)),
+                               ("n_negs", getattr(args, "n_negs", None)))
+             if v is not None}
     return edge_config_for(
         dataset_name, phase, num_nodes=num_nodes,
         emb_size=args.emb_size, num_layers=args.num_layers,
@@ -209,7 +224,7 @@ def _cfg(args, phase, dataset_name, num_nodes=None):
         lora_train_factors=lora != "svd",
         retrieve_dtype=getattr(args, "retrieve_dtype", "input"),
         selection_dtype=getattr(args, "selection_dtype", "f32"),
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, **extra)
 
 
 def run_pretrain(args):

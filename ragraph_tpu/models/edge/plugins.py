@@ -242,8 +242,12 @@ class MixGCFPlugin(PluginBase):
                                       k_mix).sum(axis=1)
         rec = bpr_loss(user_emb[users], item_emb[pos_items], neg_emb)
         u_t, i_t = self._effective_tables(params, None, False)
+        # reference reg spans the FULL flat (B*n_negs) candidate tensor
+        # (MixGCF.py:98 passes the un-reshaped neg_items into _reg_loss,
+        # still divided by B) — an n_negs-fold stronger negative-norm
+        # penalty than one candidate would give
         reg = cfg.weight_decay * reg_loss_emb(u_t, i_t, users, pos_items,
-                                              neg_candidates[:, 0])
+                                              neg_candidates.reshape(-1))
         loss = rec + reg
         return loss, {"rec_loss": rec, "reg_loss": reg}
 

@@ -209,8 +209,10 @@ def make_edge_args(**overrides) -> SimpleNamespace:
         hour_interval_f=1, model="RAGraph", desc="", phase="pretrain",
         plugin=False, save_path="saved", save_dir="saved",
         edge_dropout_ft=0.1, use_noise=False,
-        # plugin-zoo knobs (parse_args.py:54-58 parse_args_sgl defaults)
-        temp=0.2, lbd=0.1,
+        # plugin-zoo knobs (parse_args.py:49-63: parse_args_sgl temp/lbd,
+        # parse_args_simgcl eps [lbd=0.5 — set per-arm], parse_args_mixgcf
+        # n_negs)
+        temp=0.2, lbd=0.1, eps=0.1, n_negs=16,
     )
     for k, v in overrides.items():
         setattr(args, k, v)
@@ -266,6 +268,8 @@ def _load_edge(ns: SimpleNamespace):
         sys.modules["modules.plugins"] = plugins_pkg
         modules_pkg.plugins = plugins_pkg
         sgl_mod = importlib.import_module("modules.plugins.SGL")
+        simgcl_mod = importlib.import_module("modules.plugins.SimGCL")
+        mixgcf_mod = importlib.import_module("modules.plugins.MixGCF")
         dyn_pkg = types.ModuleType("modules.dynamicGNN")
         dyn_pkg.__path__ = [f"{EDGE}/modules/dynamicGNN"]
         sys.modules["modules.dynamicGNN"] = dyn_pkg
@@ -275,6 +279,8 @@ def _load_edge(ns: SimpleNamespace):
             "modules.dynamicGNN.trainer_roland")
 
         ns.edge_SGL = sgl_mod.SGL
+        ns.edge_SimGCL = simgcl_mod.SimGCL
+        ns.edge_MixGCF = mixgcf_mod.MixGCF
         ns.edge_roland = roland_mod.roland
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer

@@ -98,11 +98,12 @@ def test_edge_differential_within_seed_noise():
     assert out["ours"]["avg_recall"] > 0.0
 
 
-@pytest.mark.parametrize("arm", ["sgl", "roland"])
+@pytest.mark.parametrize("arm", ["sgl", "simgcl", "mixgcf", "roland"])
 def test_zoo_differential_within_seed_noise(arm):
-    """Baselines-zoo head-to-heads (r4 verdict item 2): SGL via the
-    reference's own pretrain.py protocol, roland via the shared
-    staged_dynamic stage loop over the reference's own model+trainer
+    """Baselines-zoo head-to-heads (r4 verdict item 2, widened to the
+    full plugin family in r5): SGL/SimGCL/MixGCF via the reference's own
+    pretrain.py protocol, roland via the shared staged_dynamic stage
+    loop over the reference's own model+trainer
     (experiments/reference_e2e_differential_zoo.py)."""
     out = _load(f"reference_e2e_differential_{arm}.json")
     assert out["within_noise"], out

@@ -917,6 +917,60 @@ def test_graphprompt_gp_forward_parity(R):
                                    err_msg=mode)
 
 
+def test_mixgcf_negative_mixing_and_reg_parity(R, monkeypatch):
+    """MixGCF's positive-mixing + hop-mixing hard-negative synthesis
+    (``modules/plugins/MixGCF.py:59-77``) and its reg term
+    (``:98`` — the FULL flat (B·n_negs) candidate tensor goes into
+    ``_reg_loss``, still divided by B) vs ours, on identical layer
+    stacks with the mixing coefficient pinned to 0.5 on both sides."""
+    from ragraph_tpu.models.edge.base import reg_loss_emb
+    from ragraph_tpu.models.edge.plugins import MixGCFPlugin
+
+    rng = np.random.default_rng(57)
+    n_users, n_items, layers_p1, emb, b, n_negs = 11, 17, 4, 8, 6, 5
+    u_layers = rng.standard_normal(
+        (n_users, layers_p1, emb)).astype(np.float32)
+    i_layers = rng.standard_normal(
+        (n_items, layers_p1, emb)).astype(np.float32)
+    users = rng.integers(0, n_users, b)
+    pos = rng.integers(0, n_items, b)
+    cands = rng.integers(0, n_items, (b, n_negs))
+
+    a = R.edge_args
+    monkeypatch.setattr(a, "n_negs", n_negs, raising=False)
+    monkeypatch.setattr(a, "emb_size", emb, raising=False)
+    monkeypatch.setattr(torch, "rand",
+                        lambda *s, **k: torch.full(s, 0.5))
+    # unbound: negative_sampling reads only args + its operands
+    ref_neg = R.edge_MixGCF.negative_sampling(
+        None, torch.tensor(u_layers), torch.tensor(i_layers),
+        torch.tensor(users), torch.tensor(cands.reshape(-1)),
+        torch.tensor(pos)).detach().numpy()
+
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape, **k: jnp.full(shape, 0.5))
+    ours_neg = np.asarray(MixGCFPlugin._mix_negatives(
+        None, jnp.asarray(u_layers), jnp.asarray(i_layers),
+        jnp.asarray(users), jnp.asarray(cands), jnp.asarray(pos),
+        jax.random.key(0)))
+    np.testing.assert_allclose(ours_neg, ref_neg, atol=1e-5)
+
+    # reg parity: GraphPro._reg_loss formula over the flat candidates
+    u_t = rng.standard_normal((n_users, emb)).astype(np.float32)
+    i_t = rng.standard_normal((n_items, emb)).astype(np.float32)
+    ref_reg = float((0.5 * (torch.tensor(u_t)[torch.tensor(users)]
+                            .norm(2).pow(2)
+                            + torch.tensor(i_t)[torch.tensor(pos)]
+                            .norm(2).pow(2)
+                            + torch.tensor(i_t)[torch.tensor(
+                                cands.reshape(-1))].norm(2).pow(2))
+                    / float(b)))
+    ours_reg = float(reg_loss_emb(jnp.asarray(u_t), jnp.asarray(i_t),
+                                  jnp.asarray(users), jnp.asarray(pos),
+                                  jnp.asarray(cands.reshape(-1))))
+    assert abs(ours_reg - ref_reg) < 1e-4 * max(1.0, abs(ref_reg))
+
+
 def test_gru_cell_torch_parity(R):
     """The dynamic models' functional GRU must match ``torch.nn.GRUCell``
     bit-for-bit semantics (gate ordering r,z,n; reset applied inside the
