@@ -10,6 +10,11 @@ differential, 3 seeds, the same SE-of-the-mean-difference criterion.
   best-recall early stopping, per-model parser-extension knobs
   (``utils/parse_args.py:49-78``). Ours: ``cli.edge pretrain --model
   <M>`` (+ ``--lbd/--eps`` for SimGCL).
+* **EvolveGCN-H/-O**: same shared stage loop as ROLAND below with the
+  reference's own ``evolveGCN_H``/``evolveGCN_O`` classes + generic
+  ``trainer_roland.Trainer``; stage s inits tables from stage s-1's best,
+  carries the GRU weights, and (H) feeds the previous stage's generated
+  embeddings as the recurrent hidden state.
 * **ROLAND**: the reference ships the model (``dynamicGNN/roland.py:35``)
   and its trainer (``trainer_roland.py``) but NO driver script, so the
   stage loop here mirrors our ``staged_dynamic`` protocol identically on
@@ -224,7 +229,80 @@ def reference_staged_roland(ref, pre_path, save_dir, seed):
     return recalls, ndcgs
 
 
-def run_roland():
+def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
+    """EvolveGCN-H/-O under the shared staged_dynamic stage loop (the
+    reference ships the classes — ``dynamicGNN/evolveGCN_H.py:19-70``,
+    ``evolveGCN_O.py:18-72`` — and the generic ``trainer_roland.py``
+    but no driver): stage s inits tables from stage s-1's best tables,
+    carries the GRU weights, and (H only) feeds stage s-1's generated
+    embeddings as the recurrent hidden state — exactly our
+    ``staged.staged_dynamic`` carry."""
+    a = _configure_ref_args(ref, save_dir)
+    a.model = "RAGraph"
+    a.pre_model_path = pre_path
+    a.seed = seed
+    _init_seed(seed)
+    logger = FakeLogger()
+
+    pretrain_data = os.path.join(SUB_DIR, "pretrain.txt")
+    all_data = [pretrain_data,
+                os.path.join(SUB_DIR, "fine_tune.txt"),
+                *[os.path.join(SUB_DIR, f"test_{i}.txt")
+                  for i in range(1, N_STAGES + 1)]]
+    pretrain_dataset = ref.edge_EdgeListData(
+        pretrain_data, os.path.join(SUB_DIR, "pretrain_val.txt"))
+
+    sd = torch.load(pre_path, map_location="cpu")
+    tables = (sd["user_embedding"], sd["item_embedding"])
+    cls = (ref.edge_evolveGCN_H if mode == "evolvegcn_h"
+           else ref.edge_evolveGCN_O)
+    gru_prefix = ("recurrent_layer." if mode == "evolvegcn_h"
+                  else "gru_cell.")
+    carry_sd, last_emb = None, None
+    recalls, ndcgs = [], []
+    for stage in range(1, N_STAGES + 1):
+        ft_ds = ref.edge_EdgeListData(
+            train_file=all_data[stage],
+            test_file=os.path.join(SUB_DIR, f"test_{stage}.txt"),
+            phase="finetune", pre_dataset=pretrain_dataset, has_time=True,
+            user_hist_files=all_data[:stage])
+
+        init_u, init_i = tables
+        if mode == "evolvegcn_h" and last_emb is None:
+            # stage 1 hidden = the pretrained tables (our staged.py:240)
+            last_emb = torch.cat([init_u, init_i], dim=0).detach()
+        model = cls(ft_ds, pretrained_model=_FakeGen(init_u, init_i),
+                    last_emb=last_emb)
+        if carry_sd is not None:
+            model.load_state_dict(
+                {k: v for k, v in carry_sd.items()
+                 if k.startswith(gru_prefix)}, strict=False)
+
+        a.exp_time = f"{mode}-{seed}-{stage}"
+        trainer = ref.edge_TrainerRoland(ft_ds, logger)
+        best = trainer.train_finetune(model)
+        recalls.append(float(best["recall"][0]))
+        ndcgs.append(float(best["ndcg"][0]))
+        print(f"[ref {mode} seed {seed}] stage {stage}: "
+              f"recall {recalls[-1]:.5f}")
+
+        path = getattr(trainer, "save_path", None)
+        best_sd = (torch.load(path, map_location="cpu") if path is not None
+                   else model.state_dict())
+        model.load_state_dict(best_sd, strict=False)
+        with torch.no_grad():
+            u_e, i_e = model.generate()
+        last_emb = torch.cat([u_e, i_e], dim=0).detach()
+        carry_sd = best_sd
+        tables = (best_sd["user_embedding"].detach(),
+                  best_sd["item_embedding"].detach())
+    return recalls, ndcgs
+
+
+DYNAMIC_ARMS = ("roland", "evolvegcn_h", "evolvegcn_o")
+
+
+def run_dynamic(mode):
     _force_cpu()
     from _reference_loader import load_reference
 
@@ -239,22 +317,26 @@ def run_roland():
     for seed in SEEDS:
         t0 = time.time()
         pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
-        ref_recalls, ref_ndcgs = reference_staged_roland(
-            ref, pre_path, save_dir, seed)
+        if mode == "roland":
+            ref_recalls, ref_ndcgs = reference_staged_roland(
+                ref, pre_path, save_dir, seed)
+        else:
+            ref_recalls, ref_ndcgs = reference_staged_evolvegcn(
+                ref, pre_path, save_dir, seed, mode)
         t_ref = time.time() - t0
-        print(f"[ref roland seed {seed}] avg recall "
+        print(f"[ref {mode} seed {seed}] avg recall "
               f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
 
         t0 = time.time()
         result = edge_cli.main([
-            "finetune", "--model", "roland", "--data-path", SUB_DIR,
+            "finetune", "--model", mode, "--data-path", SUB_DIR,
             "--pre-model-path", pre_path,
             "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
             "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
             "--seed", str(seed),
-            "--save-dir", f"/tmp/amazon_sub_zoo_ours_roland_{seed}"])
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_{mode}_{seed}"])
         t_ours = time.time() - t0
-        print(f"[ours roland seed {seed}] avg recall "
+        print(f"[ours {mode} seed {seed}] avg recall "
               f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
         per_seed.append({
             "seed": seed, "pretrain_recall": pre_recall,
@@ -265,12 +347,14 @@ def run_roland():
             "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
                      "recall": result.avg_recall, "ndcg": result.avg_ndcg,
                      "wall_s": round(t_ours, 1)}})
-    _emit("roland", stats, per_seed,
-          ref_protocol="dynamicGNN/roland.py + trainer_roland.py under "
-                       "the staged_dynamic stage loop (the reference "
-                       "ships no roland driver; loop structure shared "
+    src = ("dynamicGNN/roland.py" if mode == "roland"
+           else f"dynamicGNN/evolveGCN_{mode[-1].upper()}.py")
+    _emit(mode, stats, per_seed,
+          ref_protocol=f"{src} + trainer_roland.py under the "
+                       "staged_dynamic stage loop (the reference ships "
+                       "no dynamic-family driver; loop structure shared "
                        "by construction, see module docstring)",
-          ours_protocol="cli.edge finetune --model roland")
+          ours_protocol=f"cli.edge finetune --model {mode}")
 
 
 # ---------------------------------------------------------------------------
@@ -315,5 +399,6 @@ if __name__ == "__main__":
     for arm in PLUGIN_ARMS:
         if mode in (arm, "all"):
             run_plugin(arm)
-    if mode in ("roland", "all"):
-        run_roland()
+    for arm in DYNAMIC_ARMS:
+        if mode in (arm, "all"):
+            run_dynamic(arm)

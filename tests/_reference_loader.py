@@ -275,6 +275,8 @@ def _load_edge(ns: SimpleNamespace):
         sys.modules["modules.dynamicGNN"] = dyn_pkg
         modules_pkg.dynamicGNN = dyn_pkg
         roland_mod = importlib.import_module("modules.dynamicGNN.roland")
+        egh_mod = importlib.import_module("modules.dynamicGNN.evolveGCN_H")
+        ego_mod = importlib.import_module("modules.dynamicGNN.evolveGCN_O")
         trainer_roland_mod = importlib.import_module(
             "modules.dynamicGNN.trainer_roland")
 
@@ -282,6 +284,8 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_SimGCL = simgcl_mod.SimGCL
         ns.edge_MixGCF = mixgcf_mod.MixGCF
         ns.edge_roland = roland_mod.roland
+        ns.edge_evolveGCN_H = egh_mod.evolveGCN_H
+        ns.edge_evolveGCN_O = ego_mod.evolveGCN_O
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer
 
