@@ -299,6 +299,140 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
     return recalls, ndcgs
 
 
+def reference_staged_gp(ref, pre_path, save_dir, seed):
+    """GraphPrompt GP under the reference's full staged finetune protocol
+    (``finetune_rag.py:54-171`` with ``--f_model graphprompt`` —
+    ``modules/graphprompt/GP.py:10-113`` is a finetune-phase model the
+    reference ships no dedicated driver for): interpolative merge of the
+    last ``updt_inter`` stage checkpoints, structural-prompt dataset via
+    ``merge_pd``, a ``load_finetune`` GP generating the stage init
+    tables, then ``Trainer.train_finetune`` on the stage split."""
+    import pandas as pd
+
+    from _reference_loader import interpolative_merge_reference
+
+    a = _configure_ref_args(ref, save_dir)
+    a.model = "RAGraph"
+    a.f_model = "graphprompt"
+    a.pre_model_path = pre_path
+    a.seed = seed
+    _init_seed(seed)
+    logger = FakeLogger()
+
+    pretrain_data = os.path.join(SUB_DIR, "pretrain.txt")
+    finetune_data = os.path.join(SUB_DIR, "fine_tune.txt")
+    test_datas = [os.path.join(SUB_DIR, f"test_{i}.txt")
+                  for i in range(1, N_STAGES + 1)]
+    all_data = [pretrain_data, finetune_data, *test_datas]
+    pretrain_dataset = ref.edge_EdgeListData(
+        pretrain_data, os.path.join(SUB_DIR, "pretrain_val.txt"))
+
+    saved_model_paths = []
+    recalls, ndcgs = [], []
+    for num_stage in range(1, N_STAGES + 1):
+        interval = a.updt_inter
+        if len(saved_model_paths) >= interval:
+            all_state_dict = [torch.load(a.pre_model_path,
+                                         map_location="cpu")]
+            for i in range(interval):
+                all_state_dict.append(
+                    torch.load(saved_model_paths[-i - 1],
+                               map_location="cpu"))
+            state_dict = interpolative_merge_reference(
+                all_state_dict, interval)
+        else:
+            state_dict = torch.load(a.pre_model_path, map_location="cpu")
+        new_state_dict = {k: v for k, v in state_dict.items()
+                          if k.startswith(("user_embedding",
+                                           "item_embedding"))}
+
+        ft_data_idx = num_stage
+        all_data_pd = [pd.read_csv(f, sep="\t",
+                                   names=["user", "item", "time"])
+                       for f in all_data]
+        merged_pre_pd = ref.edge_merge_pd(all_data_pd[:ft_data_idx + 1])
+        pre_dataset = ref.edge_EdgeListData(
+            train_file=merged_pre_pd, test_file=all_data_pd[ft_data_idx],
+            has_time=True, pre_dataset=pretrain_dataset)
+
+        pre_model = ref.edge_GP(pre_dataset, phase="load_finetune")
+        pre_model.load_state_dict(new_state_dict, strict=False)
+        pre_model.eval()
+
+        finetune_dataset = ref.edge_EdgeListData(
+            train_file=all_data[ft_data_idx],
+            test_file=os.path.join(SUB_DIR, f"test_{num_stage}.txt"),
+            phase="finetune", pre_dataset=pre_dataset, has_time=True,
+            user_hist_files=all_data[:ft_data_idx])
+        model = ref.edge_GP(finetune_dataset, pre_model, phase="finetune")
+
+        a.exp_time = f"gp-{seed}-{num_stage}"
+        trainer = ref.edge_Trainer(finetune_dataset, logger,
+                                   pre_dataset=pretrain_dataset)
+        best = trainer.train_finetune(model, pre_model)
+        recalls.append(float(best["recall"][0]))
+        ndcgs.append(float(best["ndcg"][0]))
+        print(f"[ref gp seed {seed}] stage {num_stage}: "
+              f"recall {recalls[-1]:.5f}")
+        path = getattr(trainer, "save_path", None)
+        if path is None:
+            path = os.path.join(save_dir,
+                                f"gp_{seed}_{num_stage}_final.pt")
+            torch.save(model.state_dict(), path)
+        saved_model_paths.append(path)
+    return recalls, ndcgs
+
+
+def run_gp():
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_gp(
+            ref, pre_path, save_dir, seed)
+        t_ref = time.time() - t0
+        print(f"[ref gp seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "GP", "--data-path", SUB_DIR,
+            "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_gp_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours gp seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("gp", stats, per_seed,
+          ref_protocol="modules/graphprompt/GP.py under the reference's "
+                       "own finetune_rag.py staged protocol "
+                       "(interpolative merge + merge_pd structural "
+                       "prompt + load_finetune generate; f_model="
+                       "graphprompt)",
+          ours_protocol="cli.edge finetune --model GP")
+
+
 DYNAMIC_ARMS = ("roland", "evolvegcn_h", "evolvegcn_o")
 
 
@@ -402,3 +536,5 @@ if __name__ == "__main__":
     for arm in DYNAMIC_ARMS:
         if mode in (arm, "all"):
             run_dynamic(arm)
+    if mode in ("gp", "all"):
+        run_gp()

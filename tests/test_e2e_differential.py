@@ -99,7 +99,7 @@ def test_edge_differential_within_seed_noise():
 
 
 @pytest.mark.parametrize("arm", ["sgl", "simgcl", "mixgcf", "roland",
-                                 "evolvegcn_h", "evolvegcn_o"])
+                                 "evolvegcn_h", "evolvegcn_o", "gp"])
 def test_zoo_differential_within_seed_noise(arm):
     """Baselines-zoo head-to-heads (r4 verdict item 2, widened to the
     full plugin family in r5): SGL/SimGCL/MixGCF via the reference's own
