@@ -121,6 +121,24 @@ def test_10m_index_tiers():
     assert out["int8_rescore_ms"] <= out["brute_ms"], out
 
 
+def test_koubei_staged_scale_v2():
+    """VERDICT r4 item 5: the staged-scale capture must carry REAL HBM
+    accounting (XLA compile-time memory analysis — device.memory_stats()
+    reports zeros through the tunnel) and a LIVE patience-10 early stop
+    at koubei scale (stage 4 runs under a 60-epoch cap and must end on
+    the early-stop path, not the cap)."""
+    out = _load("koubei_scale_staged.json")
+    assert out["peak_hbm_gib"] > 0.5, out["peak_hbm_gib"]
+    assert out["memory_analyses"], "memory_analyses empty"
+    assert "early stop at epoch" in out["early_stop_line"], out
+    # the early stop fired strictly under the cap
+    stopped_at = int(out["early_stop_line"].split("epoch")[1].split(";")[0])
+    assert stopped_at < out["final_stage_epoch_cap"], out
+    assert len(out["recalls"]) == out["n_stages"] == 4
+    for r in out["recalls"]:
+        assert r > 0.5 * out["recall_ceiling"], (r, out["recall_ceiling"])
+
+
 def test_koubei_dryrun_compile_vs_steady_split():
     """VERDICT r3 item 3: the 135 s 'generate_plain_s' anomaly must be
     recorded as compile time separate from steady-state, and the scale
