@@ -54,6 +54,12 @@ from reference_e2e_differential_edge import (  # noqa: E402
 
 N_USERS = 4000
 
+# ZOO_SEEDS=2023,7,13,17,29,41 widens an arm (per-seed runs are
+# deterministic, so a superset rerun reproduces the original seeds
+# bit-for-bit and just appends the new ones)
+if os.environ.get("ZOO_SEEDS"):
+    SEEDS = tuple(int(s) for s in os.environ["ZOO_SEEDS"].split(","))
+
 
 # ---------------------------------------------------------------------------
 # Plugin family (SGL / SimGCL / MixGCF): the reference's own pretrain.py

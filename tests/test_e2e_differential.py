@@ -98,6 +98,19 @@ def test_edge_differential_within_seed_noise():
     assert out["ours"]["avg_recall"] > 0.0
 
 
+def test_mixgcf_equivalence_artifact():
+    """The MixGCF arm's equivalence proof (docs/PARITY.md): identical
+    inputs give identical grads; replaying the torch side's own batch
+    stream from shared init gives bit-identical final recall
+    (experiments/mixgcf_equivalence.py)."""
+    out = _load("mixgcf_equivalence.json")
+    assert out["single_step"]["grad_u_maxdiff"] < 1e-6
+    assert out["single_step"]["grad_i_maxdiff"] < 1e-6
+    assert (out["replay"]["recall_ref_tables"]
+            == out["replay"]["recall_ours_tables"])
+    assert out["replay"]["steps"] >= 100
+
+
 @pytest.mark.parametrize("arm", ["sgl", "simgcl", "mixgcf", "roland",
                                  "evolvegcn_h", "evolvegcn_o", "gp"])
 def test_zoo_differential_within_seed_noise(arm):
@@ -111,4 +124,4 @@ def test_zoo_differential_within_seed_noise(arm):
     assert abs(out["gap_sigma"]) <= 2.0, out
     assert out["reference"]["avg_recall"] > 0.0
     assert out["ours"]["avg_recall"] > 0.0
-    assert len(out["per_seed"]) == 3
+    assert len(out["per_seed"]) >= 3
