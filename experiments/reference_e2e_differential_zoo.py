@@ -305,7 +305,7 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
     return recalls, ndcgs
 
 
-def reference_staged_gp(ref, pre_path, save_dir, seed):
+def reference_staged_gp(ref, pre_path, save_dir, seed, f_model="graphprompt"):
     """GraphPrompt GP under the reference's full staged finetune protocol
     (``finetune_rag.py:54-171`` with ``--f_model graphprompt`` —
     ``modules/graphprompt/GP.py:10-113`` is a finetune-phase model the
@@ -319,7 +319,7 @@ def reference_staged_gp(ref, pre_path, save_dir, seed):
 
     a = _configure_ref_args(ref, save_dir)
     a.model = "RAGraph"
-    a.f_model = "graphprompt"
+    a.f_model = f_model
     a.pre_model_path = pre_path
     a.seed = seed
     _init_seed(seed)
@@ -389,12 +389,14 @@ def reference_staged_gp(ref, pre_path, save_dir, seed):
     return recalls, ndcgs
 
 
-def run_gp():
+def run_gp(f_model="graphprompt"):
     _force_cpu()
     from _reference_loader import load_reference
 
     from ragraph_tpu.cli import edge as edge_cli
 
+    tag = "gp" if f_model == "graphprompt" else "gp_gpf"
+    cli_extra = [] if f_model == "graphprompt" else ["--prompt", "gpf"]
     stats = make_amazon_sub(SUB_DIR, N_USERS)
     save_dir = "/tmp/amazon_sub_zoo_ckpt"
     os.makedirs(save_dir, exist_ok=True)
@@ -405,9 +407,9 @@ def run_gp():
         t0 = time.time()
         pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
         ref_recalls, ref_ndcgs = reference_staged_gp(
-            ref, pre_path, save_dir, seed)
+            ref, pre_path, save_dir, seed, f_model=f_model)
         t_ref = time.time() - t0
-        print(f"[ref gp seed {seed}] avg recall "
+        print(f"[ref {tag} seed {seed}] avg recall "
               f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
 
         t0 = time.time()
@@ -417,9 +419,10 @@ def run_gp():
             "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
             "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
             "--seed", str(seed),
-            "--save-dir", f"/tmp/amazon_sub_zoo_ours_gp_{seed}"])
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_{tag}_{seed}"]
+            + cli_extra)
         t_ours = time.time() - t0
-        print(f"[ours gp seed {seed}] avg recall "
+        print(f"[ours {tag} seed {seed}] avg recall "
               f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
         per_seed.append({
             "seed": seed, "pretrain_recall": pre_recall,
@@ -430,13 +433,14 @@ def run_gp():
             "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
                      "recall": result.avg_recall, "ndcg": result.avg_ndcg,
                      "wall_s": round(t_ours, 1)}})
-    _emit("gp", stats, per_seed,
+    _emit(tag, stats, per_seed,
           ref_protocol="modules/graphprompt/GP.py under the reference's "
                        "own finetune_rag.py staged protocol "
                        "(interpolative merge + merge_pd structural "
-                       "prompt + load_finetune generate; f_model="
-                       "graphprompt)",
-          ours_protocol="cli.edge finetune --model GP")
+                       f"prompt + load_finetune generate; f_model="
+                       f"{f_model})",
+          ours_protocol="cli.edge finetune --model GP" +
+                        (" --prompt gpf" if cli_extra else ""))
 
 
 DYNAMIC_ARMS = ("roland", "evolvegcn_h", "evolvegcn_o")
@@ -544,3 +548,5 @@ if __name__ == "__main__":
             run_dynamic(arm)
     if mode in ("gp", "all"):
         run_gp()
+    if mode in ("gp_gpf", "all"):
+        run_gp(f_model="gpf")

@@ -36,7 +36,9 @@ def build_parser():
     p.add_argument("--prompt", default=None,
                    choices=["graphprompt", "gpf"],
                    help="cross a plugin --model with a prompt vector "
-                        "(modules/graphprompt/plugin_gp/*_gp.py crosses)")
+                        "(modules/graphprompt/plugin_gp/*_gp.py crosses); "
+                        "with --model GP selects the prompt mode itself "
+                        "(the reference's --f_model graphprompt|gpf)")
     p.add_argument("--noise", action="store_true")
     p.add_argument("--retrieve-dtype", choices=["input", "int8"],
                    default="input",
@@ -152,6 +154,11 @@ def _model_cls(args_or_name):
                              f"(SGL/SimGCL/MixGCF), got {name}")
         cls = make_dynamic(cls, dynamic)
     if prompt is not None:
+        if name == "GP":
+            # plain GP takes the prompt MODE directly (the reference's
+            # --f_model graphprompt|gpf switch, graphprompt/GP.py:25-30)
+            import functools
+            return functools.partial(GraphPromptEdge, prompt_mode=prompt)
         if name not in ("SGL", "SimGCL", "MixGCF", "LightGCN"):
             raise SystemExit(f"--prompt requires a plugin model, got {name}")
         if name == "LightGCN":
