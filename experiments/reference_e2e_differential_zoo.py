@@ -305,6 +305,123 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
     return recalls, ndcgs
 
 
+def reference_staged_sgl_roland(ref, pre_path, save_dir, seed):
+    """The SGL x ROLAND cross (``plugin_dynamic/SGL_dynamic.py:189-264``:
+    BaseModel_1's BPR+CL loss with the per-layer GRU-vs-meta fusion;
+    ``generate_lgn`` is ``@no_grad`` — the meta is frozen in-stage
+    exactly like our ``stop_gradient`` snapshot) under the same shared
+    staged_dynamic stage loop as the pure-roland arm."""
+    a = _configure_ref_args(ref, save_dir)
+    a.model = "RAGraph"
+    a.temp, a.lbd = 0.2, 0.1     # parse_args_sgl defaults
+    a.pre_model_path = pre_path
+    a.seed = seed
+    _init_seed(seed)
+    logger = FakeLogger()
+
+    pretrain_data = os.path.join(SUB_DIR, "pretrain.txt")
+    all_data = [pretrain_data,
+                os.path.join(SUB_DIR, "fine_tune.txt"),
+                *[os.path.join(SUB_DIR, f"test_{i}.txt")
+                  for i in range(1, N_STAGES + 1)]]
+    pretrain_dataset = ref.edge_EdgeListData(
+        pretrain_data, os.path.join(SUB_DIR, "pretrain_val.txt"))
+
+    sd = torch.load(pre_path, map_location="cpu")
+    tables = {"user_embedding": sd["user_embedding"],
+              "item_embedding": sd["item_embedding"]}
+    meta_sd = None
+    recalls, ndcgs = [], []
+    for stage in range(1, N_STAGES + 1):
+        ft_ds = ref.edge_EdgeListData(
+            train_file=all_data[stage],
+            test_file=os.path.join(SUB_DIR, f"test_{stage}.txt"),
+            phase="finetune", pre_dataset=pretrain_dataset, has_time=True,
+            user_hist_files=all_data[:stage])
+
+        if meta_sd is None:
+            init_u, init_i = tables["user_embedding"], tables["item_embedding"]
+        else:
+            init_u, init_i = meta_sd["user_embedding"], meta_sd["item_embedding"]
+        model = ref.edge_SGL_roland(ft_ds,
+                                    pretrain_model=_FakeGen(init_u, init_i))
+        if meta_sd is not None:
+            model.load_state_dict(
+                {k: v for k, v in meta_sd.items() if k.startswith("gru.")},
+                strict=False)
+
+        with torch.no_grad():
+            layers_u, layers_i = model.forward_lgn(
+                model.edges, model.edge_norm, return_layers=True)
+        model.meta_model = _FixedMeta(layers_u, layers_i)
+
+        a.exp_time = f"sglroland-{seed}-{stage}"
+        trainer = ref.edge_TrainerRoland(ft_ds, logger)
+        best = trainer.train_finetune(model)
+        recalls.append(float(best["recall"][0]))
+        ndcgs.append(float(best["ndcg"][0]))
+        print(f"[ref sgl_roland seed {seed}] stage {stage}: "
+              f"recall {recalls[-1]:.5f}")
+
+        path = getattr(trainer, "save_path", None)
+        best_sd = (torch.load(path, map_location="cpu") if path is not None
+                   else model.state_dict())
+        best_sd = {k: v for k, v in best_sd.items()
+                   if not k.startswith("meta_model")}
+        meta_sd = (best_sd if meta_sd is None
+                   else ref.edge_average_state_dict(best_sd, meta_sd, 0.9))
+    return recalls, ndcgs
+
+
+def run_sgl_roland():
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_sgl_roland(
+            ref, pre_path, save_dir, seed)
+        t_ref = time.time() - t0
+        print(f"[ref sgl_roland seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "SGL", "--dynamic", "roland",
+            "--data-path", SUB_DIR, "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_sglroland_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours sgl_roland seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("sgl_roland", stats, per_seed,
+          ref_protocol="plugin_dynamic/SGL_dynamic.py SGL_roland + "
+                       "trainer_roland.py under the staged_dynamic "
+                       "stage loop (the reference ships no cross-family "
+                       "driver; loop structure shared by construction)",
+          ours_protocol="cli.edge finetune --model SGL --dynamic roland")
+
+
 def reference_staged_gp(ref, pre_path, save_dir, seed, f_model="graphprompt"):
     """GraphPrompt GP under the reference's full staged finetune protocol
     (``finetune_rag.py:54-171`` with ``--f_model graphprompt`` —
@@ -550,3 +667,5 @@ if __name__ == "__main__":
         run_gp()
     if mode in ("gp_gpf", "all"):
         run_gp(f_model="gpf")
+    if mode in ("sgl_roland", "all"):
+        run_sgl_roland()

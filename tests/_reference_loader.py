@@ -277,6 +277,12 @@ def _load_edge(ns: SimpleNamespace):
         roland_mod = importlib.import_module("modules.dynamicGNN.roland")
         egh_mod = importlib.import_module("modules.dynamicGNN.evolveGCN_H")
         ego_mod = importlib.import_module("modules.dynamicGNN.evolveGCN_O")
+        pdyn_pkg = types.ModuleType("modules.dynamicGNN.plugin_dynamic")
+        pdyn_pkg.__path__ = [f"{EDGE}/modules/dynamicGNN/plugin_dynamic"]
+        sys.modules["modules.dynamicGNN.plugin_dynamic"] = pdyn_pkg
+        dyn_pkg.plugin_dynamic = pdyn_pkg
+        sgl_dyn_mod = importlib.import_module(
+            "modules.dynamicGNN.plugin_dynamic.SGL_dynamic")
         trainer_roland_mod = importlib.import_module(
             "modules.dynamicGNN.trainer_roland")
 
@@ -286,6 +292,7 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_roland = roland_mod.roland
         ns.edge_evolveGCN_H = egh_mod.evolveGCN_H
         ns.edge_evolveGCN_O = ego_mod.evolveGCN_O
+        ns.edge_SGL_roland = sgl_dyn_mod.SGL_roland
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer
 
