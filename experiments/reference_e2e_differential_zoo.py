@@ -305,15 +305,28 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
     return recalls, ndcgs
 
 
-def reference_staged_sgl_roland(ref, pre_path, save_dir, seed):
-    """The SGL x ROLAND cross (``plugin_dynamic/SGL_dynamic.py:189-264``:
-    BaseModel_1's BPR+CL loss with the per-layer GRU-vs-meta fusion;
-    ``generate_lgn`` is ``@no_grad`` — the meta is frozen in-stage
-    exactly like our ``stop_gradient`` snapshot) under the same shared
-    staged_dynamic stage loop as the pure-roland arm."""
+CROSS_ARMS = {
+    # tag -> (loader attr, cli --model, per-arm reference knobs, cli extra)
+    "sgl_roland": ("edge_SGL_roland", "SGL",
+                   {"temp": 0.2, "lbd": 0.1}, []),
+    "simgcl_roland": ("edge_SimGCL_roland", "SimGCL",
+                      {"eps": 0.1, "lbd": 0.5},
+                      ["--lbd", "0.5", "--eps", "0.1"]),
+}
+
+
+def reference_staged_cross(ref, pre_path, save_dir, seed, arm):
+    """Plugin x ROLAND crosses (``plugin_dynamic/*_dynamic.py``:
+    BaseModel_1's plugin loss — BPR kept active even for SimGCL — with
+    the per-layer GRU-vs-meta fusion; ``generate_lgn`` is ``@no_grad``,
+    so the meta is frozen in-stage exactly like our ``stop_gradient``
+    snapshot) under the same shared staged_dynamic stage loop as the
+    pure-roland arm."""
+    attr, _, knobs, _ = CROSS_ARMS[arm]
     a = _configure_ref_args(ref, save_dir)
     a.model = "RAGraph"
-    a.temp, a.lbd = 0.2, 0.1     # parse_args_sgl defaults
+    for k, v in knobs.items():
+        setattr(a, k, v)
     a.pre_model_path = pre_path
     a.seed = seed
     _init_seed(seed)
@@ -343,8 +356,8 @@ def reference_staged_sgl_roland(ref, pre_path, save_dir, seed):
             init_u, init_i = tables["user_embedding"], tables["item_embedding"]
         else:
             init_u, init_i = meta_sd["user_embedding"], meta_sd["item_embedding"]
-        model = ref.edge_SGL_roland(ft_ds,
-                                    pretrain_model=_FakeGen(init_u, init_i))
+        model = getattr(ref, attr)(ft_ds,
+                                   pretrain_model=_FakeGen(init_u, init_i))
         if meta_sd is not None:
             model.load_state_dict(
                 {k: v for k, v in meta_sd.items() if k.startswith("gru.")},
@@ -355,12 +368,12 @@ def reference_staged_sgl_roland(ref, pre_path, save_dir, seed):
                 model.edges, model.edge_norm, return_layers=True)
         model.meta_model = _FixedMeta(layers_u, layers_i)
 
-        a.exp_time = f"sglroland-{seed}-{stage}"
+        a.exp_time = f"{arm}-{seed}-{stage}"
         trainer = ref.edge_TrainerRoland(ft_ds, logger)
         best = trainer.train_finetune(model)
         recalls.append(float(best["recall"][0]))
         ndcgs.append(float(best["ndcg"][0]))
-        print(f"[ref sgl_roland seed {seed}] stage {stage}: "
+        print(f"[ref {arm} seed {seed}] stage {stage}: "
               f"recall {recalls[-1]:.5f}")
 
         path = getattr(trainer, "save_path", None)
@@ -373,12 +386,13 @@ def reference_staged_sgl_roland(ref, pre_path, save_dir, seed):
     return recalls, ndcgs
 
 
-def run_sgl_roland():
+def run_cross(arm):
     _force_cpu()
     from _reference_loader import load_reference
 
     from ragraph_tpu.cli import edge as edge_cli
 
+    _, cli_model, _, cli_extra = CROSS_ARMS[arm]
     stats = make_amazon_sub(SUB_DIR, N_USERS)
     save_dir = "/tmp/amazon_sub_zoo_ckpt"
     os.makedirs(save_dir, exist_ok=True)
@@ -388,22 +402,23 @@ def run_sgl_roland():
     for seed in SEEDS:
         t0 = time.time()
         pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
-        ref_recalls, ref_ndcgs = reference_staged_sgl_roland(
-            ref, pre_path, save_dir, seed)
+        ref_recalls, ref_ndcgs = reference_staged_cross(
+            ref, pre_path, save_dir, seed, arm)
         t_ref = time.time() - t0
-        print(f"[ref sgl_roland seed {seed}] avg recall "
+        print(f"[ref {arm} seed {seed}] avg recall "
               f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
 
         t0 = time.time()
         result = edge_cli.main([
-            "finetune", "--model", "SGL", "--dynamic", "roland",
+            "finetune", "--model", cli_model, "--dynamic", "roland",
             "--data-path", SUB_DIR, "--pre-model-path", pre_path,
             "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
             "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
             "--seed", str(seed),
-            "--save-dir", f"/tmp/amazon_sub_zoo_ours_sglroland_{seed}"])
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_{arm}_{seed}"]
+            + cli_extra)
         t_ours = time.time() - t0
-        print(f"[ours sgl_roland seed {seed}] avg recall "
+        print(f"[ours {arm} seed {seed}] avg recall "
               f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
         per_seed.append({
             "seed": seed, "pretrain_recall": pre_recall,
@@ -414,12 +429,15 @@ def run_sgl_roland():
             "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
                      "recall": result.avg_recall, "ndcg": result.avg_ndcg,
                      "wall_s": round(t_ours, 1)}})
-    _emit("sgl_roland", stats, per_seed,
-          ref_protocol="plugin_dynamic/SGL_dynamic.py SGL_roland + "
-                       "trainer_roland.py under the staged_dynamic "
-                       "stage loop (the reference ships no cross-family "
-                       "driver; loop structure shared by construction)",
-          ours_protocol="cli.edge finetune --model SGL --dynamic roland")
+    _emit(arm, stats, per_seed,
+          ref_protocol=f"plugin_dynamic/{cli_model}_dynamic.py "
+                       f"{cli_model}_roland + trainer_roland.py under "
+                       "the staged_dynamic stage loop (the reference "
+                       "ships no cross-family driver; loop structure "
+                       "shared by construction)",
+          ours_protocol=f"cli.edge finetune --model {cli_model} "
+                        "--dynamic roland"
+                        + (" " + " ".join(cli_extra) if cli_extra else ""))
 
 
 def reference_staged_gp(ref, pre_path, save_dir, seed, f_model="graphprompt"):
@@ -667,5 +685,6 @@ if __name__ == "__main__":
         run_gp()
     if mode in ("gp_gpf", "all"):
         run_gp(f_model="gpf")
-    if mode in ("sgl_roland", "all"):
-        run_sgl_roland()
+    for arm in CROSS_ARMS:
+        if mode in (arm, "all"):
+            run_cross(arm)

@@ -70,6 +70,10 @@ def make_dynamic(plugin_cls, mode: str):
 
     class Crossed(plugin_cls):
         use_time = False  # BaseModel_1 has no time encoding
+        # the SimGCL crosses RESTORE the BPR term the standalone model
+        # zeroes (plugin_dynamic/SimGCL_dynamic.py:41-56); no-op for
+        # SGL/MixGCF whose cal_loss always includes it
+        bpr_in_cal_loss = True
 
         def __init__(self, cfg, graph, phase: str = "finetune",
                      mesh=None):

@@ -106,6 +106,11 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
     """
 
     class Prompted(plugin_cls):
+        # the SimGCL prompt cross keeps the BPR term the standalone
+        # model zeroes (plugin_gp/SimGCL_gp.py:80-91); no-op for
+        # SGL/MixGCF
+        bpr_in_cal_loss = True
+
         def init_params(self, key, pretrained_tables=None):
             params = super().init_params(key, pretrained_tables)
             params["prompt_vec"] = xavier(jax.random.fold_in(key, 31),

@@ -163,7 +163,17 @@ class SGLPlugin(PluginBase):
 
 
 class SimGCLPlugin(PluginBase):
-    """SimGCL: embedding-perturbation contrastive (no BPR term)."""
+    """SimGCL: embedding-perturbation contrastive (no BPR term).
+
+    The standalone model zeroes the BPR term (``SimGCL.py:82``), but the
+    reference's SimGCL *crosses* keep it active — both the dynamic
+    crosses (``plugin_dynamic/SimGCL_dynamic.py:41-56``: plain forward
+    on the same dropped subgraph, then the two perturbed CL views) and
+    the prompt crosses (``plugin_gp/SimGCL_gp.py:80-91``).
+    ``make_dynamic`` / ``make_prompted`` flip ``bpr_in_cal_loss``.
+    """
+
+    bpr_in_cal_loss = False
 
     def cal_loss(self, params, batch, key, graph=None, resources=None):
         users, pos_items, neg_items = batch
@@ -188,7 +198,16 @@ class SimGCLPlugin(PluginBase):
         cl = cfg.lbd * (cal_infonce(uv1[uu], uv2[uu], 0.2, mask=um)
                         + cal_infonce(iv1[iu], iv2[iu], 0.2, mask=im))
 
-        rec = jnp.float32(0.0)  # SimGCL.py:82 zeroes the BPR term
+        if self.bpr_in_cal_loss:
+            # crosses: plain (unperturbed) forward on the SAME dropped
+            # subgraph feeds the BPR term (SimGCL_dynamic.py:47-51,
+            # SimGCL_gp.py:80-91)
+            u_p, i_p = self.forward(params, key=k_fwd, training=True,
+                                    edge_mask=mask, edge_mask_send=mask_s,
+                                    graph=g, time_scale=2.0)
+            rec = bpr_loss(u_p[users], i_p[pos_items], i_p[neg_items])
+        else:
+            rec = jnp.float32(0.0)  # SimGCL.py:82 zeroes the BPR term
         loss = rec + reg + cl
         return loss, {"rec_loss": rec, "reg_loss": reg, "cl_loss": cl}
 

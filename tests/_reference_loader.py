@@ -283,6 +283,8 @@ def _load_edge(ns: SimpleNamespace):
         dyn_pkg.plugin_dynamic = pdyn_pkg
         sgl_dyn_mod = importlib.import_module(
             "modules.dynamicGNN.plugin_dynamic.SGL_dynamic")
+        simgcl_dyn_mod = importlib.import_module(
+            "modules.dynamicGNN.plugin_dynamic.SimGCL_dynamic")
         trainer_roland_mod = importlib.import_module(
             "modules.dynamicGNN.trainer_roland")
 
@@ -293,6 +295,7 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_evolveGCN_H = egh_mod.evolveGCN_H
         ns.edge_evolveGCN_O = ego_mod.evolveGCN_O
         ns.edge_SGL_roland = sgl_dyn_mod.SGL_roland
+        ns.edge_SimGCL_roland = simgcl_dyn_mod.SimGCL_roland
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer
 

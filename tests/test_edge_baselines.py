@@ -83,6 +83,31 @@ class TestPlugins:
         assert not np.allclose(np.asarray(u1), np.asarray(u2))
         assert not np.allclose(np.asarray(u1), np.asarray(u0))
 
+    def test_simgcl_bpr_zeroed_standalone_active_in_crosses(self, setup):
+        """SimGCL.py:82 zeroes the BPR term in the standalone model, but
+        the reference's crosses keep it (SimGCL_dynamic.py:41-56,
+        SimGCL_gp.py:80-91) — make_dynamic/make_prompted flip
+        bpr_in_cal_loss."""
+        from ragraph_tpu.models.edge.dynamic import make_dynamic
+        from ragraph_tpu.models.edge.graphprompt import make_prompted
+        ds, g, cfg, batch = setup
+        m = SimGCLPlugin(cfg, g, phase="pretrain")
+        params = m.init_params(jr.key(0))
+        _, aux = m.cal_loss(params, batch, jr.key(1))
+        assert float(aux["rec_loss"]) == 0.0
+
+        crossed = make_dynamic(SimGCLPlugin, "evolvegcn_o")(
+            cfg, g, phase="pretrain")
+        cp = crossed.init_params(jr.key(0))
+        _, aux_c = crossed.cal_loss(cp, batch, jr.key(1))
+        assert float(aux_c["rec_loss"]) > 0.0
+
+        prompted = make_prompted(SimGCLPlugin, "gpf")(
+            cfg, g, phase="pretrain")
+        pp = prompted.init_params(jr.key(0))
+        _, aux_p = prompted.cal_loss(pp, batch, jr.key(1))
+        assert float(aux_p["rec_loss"]) > 0.0
+
     def test_mixgcf_hard_negatives(self, setup):
         ds, g, cfg, batch = setup
         m = MixGCFPlugin(cfg, g, phase="pretrain")
