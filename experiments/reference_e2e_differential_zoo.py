@@ -235,7 +235,8 @@ def reference_staged_roland(ref, pre_path, save_dir, seed):
     return recalls, ndcgs
 
 
-def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
+def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode,
+                               cls_attr=None, ref_knobs=None):
     """EvolveGCN-H/-O under the shared staged_dynamic stage loop (the
     reference ships the classes — ``dynamicGNN/evolveGCN_H.py:19-70``,
     ``evolveGCN_O.py:18-72`` — and the generic ``trainer_roland.py``
@@ -245,6 +246,8 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
     ``staged.staged_dynamic`` carry."""
     a = _configure_ref_args(ref, save_dir)
     a.model = "RAGraph"
+    for k, v in (ref_knobs or {}).items():
+        setattr(a, k, v)
     a.pre_model_path = pre_path
     a.seed = seed
     _init_seed(seed)
@@ -260,8 +263,11 @@ def reference_staged_evolvegcn(ref, pre_path, save_dir, seed, mode):
 
     sd = torch.load(pre_path, map_location="cpu")
     tables = (sd["user_embedding"], sd["item_embedding"])
-    cls = (ref.edge_evolveGCN_H if mode == "evolvegcn_h"
-           else ref.edge_evolveGCN_O)
+    if cls_attr is not None:
+        cls = getattr(ref, cls_attr)
+    else:
+        cls = (ref.edge_evolveGCN_H if mode == "evolvegcn_h"
+               else ref.edge_evolveGCN_O)
     gru_prefix = ("recurrent_layer." if mode == "evolvegcn_h"
                   else "gru_cell.")
     carry_sd, last_emb = None, None
@@ -438,6 +444,68 @@ def run_cross(arm):
           ours_protocol=f"cli.edge finetune --model {cli_model} "
                         "--dynamic roland"
                         + (" " + " ".join(cli_extra) if cli_extra else ""))
+
+
+def run_mixgcf_evolvegcn_o():
+    """MixGCF x EvolveGCN-O cross — with this arm every plugin (SGL,
+    SimGCL, MixGCF) and every dynamic mode (roland, evolveGCN) appears
+    in at least one e2e-tested cross. Reference:
+    ``plugin_dynamic/MixGCF_dynamic.py:112-139`` (hop-mixing loss over
+    the GRUCell-self-evolved embeddings) under the shared evolvegcn
+    stage loop; ``args.model='MixGCF'`` routes the dataloader's n_negs
+    candidate sampling (``utils/dataloader.py:157``)."""
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        # the args singleton leaks across seeds: the MixGCF knob below
+        # must not steer the GraphPro pretrain's negative sampling
+        ref.edge_args.model = "RAGraph"
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_evolvegcn(
+            ref, pre_path, save_dir, seed, "evolvegcn_o",
+            cls_attr="edge_MixGCF_evolveGCN_O",
+            ref_knobs={"model": "MixGCF", "n_negs": 16})
+        t_ref = time.time() - t0
+        print(f"[ref mixgcf_evolvegcn_o seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "MixGCF", "--dynamic", "evolvegcn_o",
+            "--data-path", SUB_DIR, "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_mego_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours mixgcf_evolvegcn_o seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("mixgcf_evolvegcn_o", stats, per_seed,
+          ref_protocol="plugin_dynamic/MixGCF_dynamic.py "
+                       "MixGCF_evolveGCN_O + trainer_roland.py under "
+                       "the staged_dynamic stage loop (no reference "
+                       "driver; loop shared by construction)",
+          ours_protocol="cli.edge finetune --model MixGCF "
+                        "--dynamic evolvegcn_o")
 
 
 def reference_staged_gp(ref, pre_path, save_dir, seed, f_model="graphprompt"):
@@ -688,3 +756,5 @@ if __name__ == "__main__":
     for arm in CROSS_ARMS:
         if mode in (arm, "all"):
             run_cross(arm)
+    if mode in ("mixgcf_evolvegcn_o", "all"):
+        run_mixgcf_evolvegcn_o()

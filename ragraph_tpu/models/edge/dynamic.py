@@ -75,6 +75,13 @@ def make_dynamic(plugin_cls, mode: str):
         # SGL/MixGCF whose cal_loss always includes it
         bpr_in_cal_loss = True
 
+        def _gate(self, params, all_emb, key, training):
+            # the cross BaseModel_1 has NO emb_gate in any phase
+            # (*_dynamic.py hardcodes phase='vanilla'; only the GRU
+            # evolution touches the tables) — bypass the plugin
+            # finetune gate
+            return all_emb
+
         def __init__(self, cfg, graph, phase: str = "finetune",
                      mesh=None):
             super().__init__(cfg, graph, phase, mesh=mesh)
@@ -83,6 +90,9 @@ def make_dynamic(plugin_cls, mode: str):
 
         def init_params(self, key, pretrained_tables=None):
             params = super().init_params(key, pretrained_tables)
+            # no gating params either (see _gate above)
+            params.pop("gating_weight", None)
+            params.pop("gating_bias", None)
             params["gru"] = gru_cell_init(jax.random.fold_in(key, 37),
                                           self.cfg.emb_size)
             return params

@@ -110,9 +110,18 @@ def make_prompted(plugin_cls, prompt_mode: str = "graphprompt"):
         # model zeroes (plugin_gp/SimGCL_gp.py:80-91); no-op for
         # SGL/MixGCF
         bpr_in_cal_loss = True
+        # the gp-cross BaseModel_1 (plugin_gp/*_gp.py:29-55) has NO
+        # time encoding and NO emb_gate in any phase — only the
+        # prompt vector modulates the tables/messages
+        use_time = False
+
+        def _gate(self, params, all_emb, key, training):
+            return all_emb
 
         def init_params(self, key, pretrained_tables=None):
             params = super().init_params(key, pretrained_tables)
+            params.pop("gating_weight", None)
+            params.pop("gating_bias", None)
             params["prompt_vec"] = xavier(jax.random.fold_in(key, 31),
                                           (1, self.cfg.emb_size))
             return params
