@@ -508,6 +508,66 @@ def run_mixgcf_evolvegcn_o():
                         "--dynamic evolvegcn_o")
 
 
+def run_simgcl_evolvegcn_h():
+    """SimGCL x EvolveGCN-H cross — with this arm every dynamic mode
+    (roland, evolveGCN-H, evolveGCN-O) appears in at least one
+    e2e-tested cross. Reference:
+    ``plugin_dynamic/SimGCL_dynamic.py:139-189`` (BPR+CL over the
+    nn.GRU-vs-last-stage-embeddings evolution) under the shared
+    evolvegcn stage loop."""
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        ref.edge_args.model = "RAGraph"   # args singleton leaks
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_evolvegcn(
+            ref, pre_path, save_dir, seed, "evolvegcn_h",
+            cls_attr="edge_SimGCL_evolveGCN_H",
+            ref_knobs={"eps": 0.1, "lbd": 0.5})
+        t_ref = time.time() - t0
+        print(f"[ref simgcl_evolvegcn_h seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "SimGCL", "--dynamic", "evolvegcn_h",
+            "--lbd", "0.5", "--eps", "0.1",
+            "--data-path", SUB_DIR, "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_segh_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours simgcl_evolvegcn_h seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("simgcl_evolvegcn_h", stats, per_seed,
+          ref_protocol="plugin_dynamic/SimGCL_dynamic.py "
+                       "SimGCL_evolveGCN_H + trainer_roland.py under "
+                       "the staged_dynamic stage loop (no reference "
+                       "driver; loop shared by construction)",
+          ours_protocol="cli.edge finetune --model SimGCL "
+                        "--dynamic evolvegcn_h --lbd 0.5 --eps 0.1")
+
+
 def reference_staged_gp(ref, pre_path, save_dir, seed, f_model="graphprompt"):
     """GraphPrompt GP under the reference's full staged finetune protocol
     (``finetune_rag.py:54-171`` with ``--f_model graphprompt`` —
@@ -758,3 +818,5 @@ if __name__ == "__main__":
             run_cross(arm)
     if mode in ("mixgcf_evolvegcn_o", "all"):
         run_mixgcf_evolvegcn_o()
+    if mode in ("simgcl_evolvegcn_h", "all"):
+        run_simgcl_evolvegcn_h()

@@ -298,6 +298,7 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_evolveGCN_O = ego_mod.evolveGCN_O
         ns.edge_SGL_roland = sgl_dyn_mod.SGL_roland
         ns.edge_SimGCL_roland = simgcl_dyn_mod.SimGCL_roland
+        ns.edge_SimGCL_evolveGCN_H = simgcl_dyn_mod.SimGCL_evolveGCN_H
         ns.edge_MixGCF_evolveGCN_O = mixgcf_dyn_mod.MixGCF_evolveGCN_O
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer

@@ -114,7 +114,8 @@ def test_mixgcf_equivalence_artifact():
 @pytest.mark.parametrize("arm", ["sgl", "simgcl", "mixgcf", "roland",
                                  "evolvegcn_h", "evolvegcn_o", "gp",
                                  "gp_gpf", "sgl_roland", "simgcl_roland",
-                                 "mixgcf_evolvegcn_o"])
+                                 "mixgcf_evolvegcn_o",
+                                 "simgcl_evolvegcn_h"])
 def test_zoo_differential_within_seed_noise(arm):
     """Baselines-zoo head-to-heads (r4 verdict item 2, widened to the
     full plugin family in r5): SGL/SimGCL/MixGCF via the reference's own
