@@ -706,6 +706,141 @@ def run_gp(f_model="graphprompt"):
                         (" --prompt gpf" if cli_extra else ""))
 
 
+def reference_staged_sgl_gp(ref, pre_path, save_dir, seed):
+    """The SGL x GraphPrompt cross (``plugin_gp/SGL_gp.py:28-144``: the
+    SGL BPR+CL loss with the multiplicative prompt inside every
+    aggregation; no gate, no time encoding) under the reference's
+    finetune_rag.py staged protocol, exactly like the GP arm."""
+    import pandas as pd
+
+    from _reference_loader import interpolative_merge_reference
+
+    a = _configure_ref_args(ref, save_dir)
+    a.model = "RAGraph"
+    a.f_model = "graphprompt"
+    a.temp, a.lbd = 0.2, 0.1     # parse_args_sgl defaults
+    a.pre_model_path = pre_path
+    a.seed = seed
+    _init_seed(seed)
+    logger = FakeLogger()
+
+    pretrain_data = os.path.join(SUB_DIR, "pretrain.txt")
+    finetune_data = os.path.join(SUB_DIR, "fine_tune.txt")
+    test_datas = [os.path.join(SUB_DIR, f"test_{i}.txt")
+                  for i in range(1, N_STAGES + 1)]
+    all_data = [pretrain_data, finetune_data, *test_datas]
+    pretrain_dataset = ref.edge_EdgeListData(
+        pretrain_data, os.path.join(SUB_DIR, "pretrain_val.txt"))
+
+    saved_model_paths = []
+    recalls, ndcgs = [], []
+    for num_stage in range(1, N_STAGES + 1):
+        interval = a.updt_inter
+        if len(saved_model_paths) >= interval:
+            all_state_dict = [torch.load(a.pre_model_path,
+                                         map_location="cpu")]
+            for i in range(interval):
+                all_state_dict.append(
+                    torch.load(saved_model_paths[-i - 1],
+                               map_location="cpu"))
+            state_dict = interpolative_merge_reference(
+                all_state_dict, interval)
+        else:
+            state_dict = torch.load(a.pre_model_path, map_location="cpu")
+        new_state_dict = {k: v for k, v in state_dict.items()
+                          if k.startswith(("user_embedding",
+                                           "item_embedding"))}
+
+        ft_data_idx = num_stage
+        all_data_pd = [pd.read_csv(f, sep="\t",
+                                   names=["user", "item", "time"])
+                       for f in all_data]
+        merged_pre_pd = ref.edge_merge_pd(all_data_pd[:ft_data_idx + 1])
+        pre_dataset = ref.edge_EdgeListData(
+            train_file=merged_pre_pd, test_file=all_data_pd[ft_data_idx],
+            has_time=True, pre_dataset=pretrain_dataset)
+
+        pre_model = ref.edge_SGL_gp(
+            pre_dataset, pretrained_model=_FakeGen(
+                new_state_dict["user_embedding"],
+                new_state_dict["item_embedding"]))
+        pre_model.eval()
+
+        finetune_dataset = ref.edge_EdgeListData(
+            train_file=all_data[ft_data_idx],
+            test_file=os.path.join(SUB_DIR, f"test_{num_stage}.txt"),
+            phase="finetune", pre_dataset=pre_dataset, has_time=True,
+            user_hist_files=all_data[:ft_data_idx])
+        model = ref.edge_SGL_gp(finetune_dataset, pre_model)
+
+        a.exp_time = f"sglgp-{seed}-{num_stage}"
+        trainer = ref.edge_Trainer(finetune_dataset, logger,
+                                   pre_dataset=pretrain_dataset)
+        best = trainer.train_finetune(model, pre_model)
+        recalls.append(float(best["recall"][0]))
+        ndcgs.append(float(best["ndcg"][0]))
+        print(f"[ref sgl_gp seed {seed}] stage {num_stage}: "
+              f"recall {recalls[-1]:.5f}")
+        path = getattr(trainer, "save_path", None)
+        if path is None:
+            path = os.path.join(save_dir,
+                                f"sglgp_{seed}_{num_stage}_final.pt")
+            torch.save(model.state_dict(), path)
+        saved_model_paths.append(path)
+    return recalls, ndcgs
+
+
+def run_sgl_gp():
+    _force_cpu()
+    from _reference_loader import load_reference
+
+    from ragraph_tpu.cli import edge as edge_cli
+
+    stats = make_amazon_sub(SUB_DIR, N_USERS)
+    save_dir = "/tmp/amazon_sub_zoo_ckpt"
+    os.makedirs(save_dir, exist_ok=True)
+    ref = load_reference()
+
+    per_seed = []
+    for seed in SEEDS:
+        t0 = time.time()
+        ref.edge_args.model = "RAGraph"
+        pre_path, pre_recall = reference_pretrain(ref, save_dir, seed=seed)
+        ref_recalls, ref_ndcgs = reference_staged_sgl_gp(
+            ref, pre_path, save_dir, seed)
+        t_ref = time.time() - t0
+        print(f"[ref sgl_gp seed {seed}] avg recall "
+              f"{np.mean(ref_recalls):.5f} ({t_ref:.0f}s)")
+
+        t0 = time.time()
+        result = edge_cli.main([
+            "finetune", "--model", "SGL", "--prompt", "graphprompt",
+            "--data-path", SUB_DIR, "--pre-model-path", pre_path,
+            "--emb-size", str(EMB), "--epochs", str(NUM_EPOCHS),
+            "--batch-size", str(BATCH_SIZE), "--patience", str(PATIENCE),
+            "--seed", str(seed),
+            "--save-dir", f"/tmp/amazon_sub_zoo_ours_sglgp_{seed}"])
+        t_ours = time.time() - t0
+        print(f"[ours sgl_gp seed {seed}] avg recall "
+              f"{result.avg_recall:.5f} ({t_ours:.0f}s)")
+        per_seed.append({
+            "seed": seed, "pretrain_recall": pre_recall,
+            "reference": {"recalls": ref_recalls, "ndcgs": ref_ndcgs,
+                          "recall": float(np.mean(ref_recalls)),
+                          "ndcg": float(np.mean(ref_ndcgs)),
+                          "wall_s": round(t_ref, 1)},
+            "ours": {"recalls": result.recalls, "ndcgs": result.ndcgs,
+                     "recall": result.avg_recall, "ndcg": result.avg_ndcg,
+                     "wall_s": round(t_ours, 1)}})
+    _emit("sgl_gp", stats, per_seed,
+          ref_protocol="plugin_gp/SGL_gp.py under the reference's "
+                       "finetune_rag.py staged protocol (interpolative "
+                       "merge + merge_pd structural prompt; "
+                       "f_model=graphprompt, parse_args_sgl temp/lbd)",
+          ours_protocol="cli.edge finetune --model SGL "
+                        "--prompt graphprompt")
+
+
 DYNAMIC_ARMS = ("roland", "evolvegcn_h", "evolvegcn_o")
 
 
@@ -820,3 +955,5 @@ if __name__ == "__main__":
         run_mixgcf_evolvegcn_o()
     if mode in ("simgcl_evolvegcn_h", "all"):
         run_simgcl_evolvegcn_h()
+    if mode in ("sgl_gp", "all"):
+        run_sgl_gp()

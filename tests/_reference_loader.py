@@ -261,6 +261,12 @@ def _load_edge(ns: SimpleNamespace):
         parse_args.args.f_model = "graphprompt"
         gp_mod = importlib.import_module("modules.graphprompt.GP")
         graphprompt_pkg.GP = gp_mod
+        pgp_pkg = types.ModuleType("modules.graphprompt.plugin_gp")
+        pgp_pkg.__path__ = [f"{EDGE}/modules/graphprompt/plugin_gp"]
+        sys.modules["modules.graphprompt.plugin_gp"] = pgp_pkg
+        graphprompt_pkg.plugin_gp = pgp_pkg
+        sgl_gp_mod = importlib.import_module(
+            "modules.graphprompt.plugin_gp.SGL_gp")
 
         # plugin + dynamic zoo (r4 verdict item 2: zoo e2e differentials)
         plugins_pkg = types.ModuleType("modules.plugins")
@@ -299,6 +305,7 @@ def _load_edge(ns: SimpleNamespace):
         ns.edge_SGL_roland = sgl_dyn_mod.SGL_roland
         ns.edge_SimGCL_roland = simgcl_dyn_mod.SimGCL_roland
         ns.edge_SimGCL_evolveGCN_H = simgcl_dyn_mod.SimGCL_evolveGCN_H
+        ns.edge_SGL_gp = sgl_gp_mod.SGL
         ns.edge_MixGCF_evolveGCN_O = mixgcf_dyn_mod.MixGCF_evolveGCN_O
         ns.edge_average_state_dict = roland_mod.average_state_dict
         ns.edge_TrainerRoland = trainer_roland_mod.Trainer

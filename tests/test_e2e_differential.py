@@ -115,7 +115,7 @@ def test_mixgcf_equivalence_artifact():
                                  "evolvegcn_h", "evolvegcn_o", "gp",
                                  "gp_gpf", "sgl_roland", "simgcl_roland",
                                  "mixgcf_evolvegcn_o",
-                                 "simgcl_evolvegcn_h"])
+                                 "simgcl_evolvegcn_h", "sgl_gp"])
 def test_zoo_differential_within_seed_noise(arm):
     """Baselines-zoo head-to-heads (r4 verdict item 2, widened to the
     full plugin family in r5): SGL/SimGCL/MixGCF via the reference's own
